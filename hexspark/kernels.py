@@ -1,0 +1,235 @@
+"""Vectorized numpy hamming kernels — the engine's scalar-function core.
+
+Semantics are anchored to the reference kernels (cited by file:line into
+/root/reference/), but the implementation is batch-columnar numpy: one call
+processes an Arrow batch of rows, the moral equivalent of the reference's
+SIMD registers generalized to whole columns.
+
+Anchors
+-------
+- nibble popcount LOOKUP table        : hexhamming/python_hexhamming.h:204
+- case-insensitive hex decode formula : hexhamming/python_hexhamming.cc:52-53
+  (``(c & ~0x20) - 55`` for alpha, ``c - '0'`` for digits; out-of-range
+  values > 15 or < 0 mark the char invalid, cc:56-59)
+- distance = popcount of XOR          : hexhamming/python_hexhamming.h:215-237
+- within-dist scalar semantics        : hexhamming/python_hexhamming.cc:31-68
+  (equal-string shortcut cc:39-41; early exit once sum > max_dist cc:62-64)
+- first-index array search            : hexhamming/python_hexhamming.cc:246-284
+
+No per-row Python anywhere in this module: every function takes numpy
+arrays / python lists of equal-width rows and stays in C-level numpy ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Same 16-entry nibble popcount table as the reference (h:204).
+LOOKUP16 = np.array([0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4], dtype=np.uint8)
+# Byte-wide popcount table (the numpy analogue of the reference's SSE
+# nibble-shuffle popcount, h:243-259, widened to 8 bits).
+POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+_INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)  # UINT64_MAX sentinel, h:230-232
+
+
+def _ascii_matrix(strings: list[str], width: int) -> np.ndarray:
+    """Pack equal-width ASCII strings into an (n, width) uint8 matrix."""
+    n = len(strings)
+    if width == 0 or n == 0:
+        return np.zeros((n, 0), dtype=np.uint8)
+    joined = "".join(strings).encode("ascii", errors="replace")
+    return np.frombuffer(joined, dtype=np.uint8).reshape(n, width)
+
+
+def _bytes_matrix(rows: list[bytes], width: int) -> np.ndarray:
+    """Pack equal-width byte rows into an (n, width) uint8 matrix."""
+    n = len(rows)
+    if width == 0 or n == 0:
+        return np.zeros((n, 0), dtype=np.uint8)
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(n, width)
+
+
+def decode_hex_nibbles(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized case-insensitive hex decode (cc:52-59).
+
+    Returns (values, invalid_mask) where values is int16 nibbles and
+    invalid_mask flags chars outside [0-9a-fA-F] per position.
+    """
+    c = mat.astype(np.int16)
+    is_gt9 = c > ord("9")
+    val = np.where(is_gt9, (c & ~0x20) - 55, c - ord("0"))
+    invalid = (val > 15) | (val < 0)
+    return val, invalid
+
+
+def hamming_hex_fixed(a: list[str], b: list[str], width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch hamming distance over equal-width hex strings.
+
+    Returns (dist uint64 array, row_invalid bool array). Distance semantics
+    ≡ ``bin(int(a,16) ^ int(b,16)).count('1')`` (cc:349-362); rows with any
+    invalid hex char get the sentinel flagged (cc:112-116 maps it to
+    ValueError at the API layer).
+    """
+    ma = _ascii_matrix(a, width)
+    mb = _ascii_matrix(b, width)
+    va, inva = decode_hex_nibbles(ma)
+    vb, invb = decode_hex_nibbles(mb)
+    row_invalid = (inva | invb).any(axis=1) if width else np.zeros(len(a), dtype=bool)
+    x = (va ^ vb).astype(np.uint8) & 0x0F
+    dist = LOOKUP16[x].sum(axis=1, dtype=np.uint64) if width else np.zeros(len(a), dtype=np.uint64)
+    return dist, row_invalid
+
+
+def hamming_bytes_fixed(a: list[bytes], b: list[bytes], width: int) -> np.ndarray:
+    """Batch hamming distance over equal-width byte rows (h:167-197 semantics:
+    popcount of bytewise XOR; no invalid-value concept for bytes)."""
+    ma = _bytes_matrix(a, width)
+    mb = _bytes_matrix(b, width)
+    if width == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    return POPCNT8[ma ^ mb].sum(axis=1, dtype=np.uint64)
+
+
+def hamming_bytes_matrix(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
+    """Hamming distance between aligned rows of two (n, w) uint8 matrices.
+    This is the pipeline's hot scoring kernel (SURVEY §2.1 A2)."""
+    if ma.shape[1] == 0:
+        return np.zeros(ma.shape[0], dtype=np.int64)
+    return POPCNT8[ma ^ mb].sum(axis=1, dtype=np.int64)
+
+
+def within_dist_hex_fixed(
+    a: list[str], b: list[str], width: int, max_dist: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch within-distance predicate with the reference's exact quirk set
+    (SURVEY §2.1 A3, cc:177-234 + cc:31-68):
+
+    q1  byte-equal strings → True with NO hex validation (strcmp shortcut
+        cc:39-41)
+    q2  max_dist > len(a)  → True with NO validation (cc:212-214)
+    ≤   predicate is ``dist <= max_dist`` (early exit on ``> max_dist``,
+        cc:62-64)
+    eo  an invalid hex char is only *seen* if the left-to-right running
+        distance has not already exceeded max_dist at that position
+        (validation happens inside the scan loop, cc:52-64) — so a bad char
+        after the exceed point yields False, not ValueError.
+
+    Returns (within bool array, raise_invalid bool array).
+    """
+    n = len(a)
+    max_dist = np.asarray(max_dist, dtype=np.int64)
+    ma = _ascii_matrix(a, width)
+    mb = _ascii_matrix(b, width)
+    equal = (ma == mb).all(axis=1) if width else np.ones(n, dtype=bool)
+    trivially_true = max_dist > width  # q2, strict > (cc:212-214)
+
+    va, inva = decode_hex_nibbles(ma)
+    vb, invb = decode_hex_nibbles(mb)
+    pos_invalid = inva | invb
+    per_pos = LOOKUP16[((va ^ vb) & 0x0F).astype(np.uint8)].astype(np.int64)
+    # Zero contributions at invalid positions so cumsum is well-defined up
+    # to the first invalid char (the reference never accumulates an invalid
+    # nibble — it returns -1 first, cc:56-59).
+    per_pos = np.where(pos_invalid, 0, per_pos)
+    csum = per_pos.cumsum(axis=1) if width else np.zeros((n, 0), dtype=np.int64)
+
+    if width:
+        # position of first invalid char, width if none
+        first_bad = np.where(pos_invalid.any(axis=1), pos_invalid.argmax(axis=1), width)
+        # position where running sum first exceeds max_dist, width if never
+        exceeded = csum > max_dist[:, None]
+        first_exceed = np.where(exceeded.any(axis=1), exceeded.argmax(axis=1), width)
+        total = csum[:, -1]
+    else:
+        first_bad = np.full(n, 0)
+        first_exceed = np.full(n, 0)
+        total = np.zeros(n, dtype=np.int64)
+
+    # scan outcome (only consulted when not equal / not trivially true):
+    #   invalid seen before exceed  → raise
+    #   else exceed seen            → False
+    #   else                        → dist <= max_dist
+    raise_invalid = (first_bad < width) & (first_bad <= first_exceed)
+    scan_within = (~raise_invalid) & (first_exceed >= width) & (total <= max_dist)
+
+    within = equal | trivially_true | scan_within
+    raise_invalid = raise_invalid & ~(equal | trivially_true)
+    return within, raise_invalid
+
+
+def first_index_within_dist(big: bytes, probe: bytes, max_dist: int) -> int:
+    """One-vs-many packed scan: first element index whose hamming distance to
+    the probe is ≤ max_dist, else -1 (cc:246-284, first-match loop cc:276-283).
+
+    Vectorized: the packed buffer is reshaped to an (n, w) matrix and scanned
+    in one shot — the numpy analogue of the reference's SIMD per-element
+    predicate with early exit; first-match semantics come from argmax over
+    the boolean mask instead of a sequential break.
+    """
+    w = len(probe)
+    n = len(big) // w
+    mat = np.frombuffer(big, dtype=np.uint8).reshape(n, w)
+    pv = np.frombuffer(probe, dtype=np.uint8)
+    dist = POPCNT8[mat ^ pv].sum(axis=1, dtype=np.int64)
+    hits = dist <= max_dist
+    return int(hits.argmax()) if hits.any() else -1
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 — deterministic 64-bit mixer used to derive independent hash
+# lanes for SimHash / MinHash without depending on library hash stability.
+# (Public-domain construction, Steele et al., "Fast Splittable PRNGs".)
+# ---------------------------------------------------------------------------
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _GOLDEN).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _M1
+        x = (x ^ (x >> np.uint64(27))) * _M2
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def hash_token_matrix(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Polynomial rolling hash of each row of a padded (t, L) uint8 matrix,
+    finalized with splitmix64. Deterministic across runs/platforms."""
+    t, L = mat.shape
+    acc = np.zeros(t, dtype=np.uint64)
+    mult = np.uint64(1099511628211)  # FNV prime as the polynomial base
+    with np.errstate(over="ignore"):
+        for j in range(L):  # loop over max token length (small), not rows
+            acc = acc * mult + mat[:, j].astype(np.uint64)
+    acc ^= lengths.astype(np.uint64) * _GOLDEN
+    return splitmix64(acc)
+
+
+def simhash256_from_token_hashes(
+    token_h64: np.ndarray, doc_boundaries: np.ndarray
+) -> np.ndarray:
+    """256-bit SimHash per document from 64-bit token hashes.
+
+    token_h64       : (T,) uint64 — one hash per token, docs concatenated
+    doc_boundaries  : (D,) int64  — start offset of each doc's token run
+    returns         : (D, 32) uint8 — 256-bit signatures (big-endian bits)
+
+    Each 64-bit token hash is expanded to 4 independent 64-bit lanes with
+    splitmix64 (256 bits total), unpacked to ±1, segment-summed per doc
+    (np.add.reduceat — no per-row Python), and the sign becomes the bit.
+    Design width 256 bits = 64 hex chars, matching the reference's target
+    fingerprint width (README.rst:58).
+    """
+    T = token_h64.shape[0]
+    lanes = np.empty((T, 4), dtype=np.uint64)
+    for k in range(4):
+        lanes[:, k] = splitmix64(token_h64 + np.uint64(k + 1))
+    bits = np.unpackbits(lanes.view(np.uint8), axis=1)  # (T, 256)
+    signed = bits.astype(np.int32) * 2 - 1
+    sums = np.add.reduceat(signed, doc_boundaries, axis=0)  # (D, 256)
+    sig_bits = (sums > 0).astype(np.uint8)
+    return np.packbits(sig_bits, axis=1)  # (D, 32)
