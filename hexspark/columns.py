@@ -1,0 +1,257 @@
+"""Arrow-batched pandas-UDF Column functions — the engine's Spark surface
+for the reference's scalar operators (SURVEY.md §2.1 A1-A3) plus the
+fingerprint/similarity functions the ER pipeline needs.
+
+Design rule (BASELINE.json input_hint): *no per-row Python*. Every UDF body
+is numpy/pandas C-level vectorized over the whole Arrow batch; the only
+Python-level loops are over fixed small dimensions (distinct row widths,
+max-token-length, Jaro scan positions), never over rows.
+
+Null/invalid policy: the reference raises ValueError per call
+(python_hexhamming.cc:100-116). In a columnar engine, per-row raise would
+poison whole batches, so the column functions return NULL for rows that the
+reference would reject (length mismatch, invalid hex, null input) — callers
+quarantine NULLs; ``hexspark.compat`` keeps the exact raising behavior for
+scalar API parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, LongType
+
+from . import kernels
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _by_width(series_a: pd.Series, series_b: pd.Series):
+    """Yield (index_positions, list_a, list_b, width) groups of rows whose
+    operands are same-width and non-null. Distinct widths per batch are few;
+    this loop is over widths, not rows."""
+    a = series_a
+    b = series_b
+    la = a.str.len()
+    lb = b.str.len()
+    ok = a.notna() & b.notna() & (la == lb)
+    widths = la[ok].unique()
+    for w in widths:
+        mask = (ok & (la == w)).to_numpy()
+        idx = np.flatnonzero(mask)
+        yield idx, a.iloc[idx].tolist(), b.iloc[idx].tolist(), int(w)
+
+
+# ---------------------------------------------------------------------------
+# A1: hamming distance over hex strings
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def hamming_hex(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Column form of hamming_distance_string (cc:79-122): popcount of XOR of
+    hex-decoded operands; NULL on length mismatch / invalid hex / null."""
+    out = np.full(len(a), np.nan)
+    for idx, la, lb, w in _by_width(a, b):
+        dist, invalid = kernels.hamming_hex_fixed(la, lb, w)
+        vals = dist.astype(np.float64)
+        vals[invalid] = np.nan
+        out[idx] = vals
+    return pd.Series(out).astype("Int64")
+
+
+# ---------------------------------------------------------------------------
+# A2: hamming distance over binary fingerprints (the hot scoring kernel)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def hamming_bytes(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Column form of hamming_distance_bytes (cc:133-166) on BinaryType."""
+    la = a.str.len()
+    lb = b.str.len()
+    ok = a.notna() & b.notna() & (la == lb)
+    out = np.full(len(a), np.nan)
+    widths = la[ok].unique()
+    for w in widths:
+        mask = (ok & (la == w)).to_numpy()
+        idx = np.flatnonzero(mask)
+        dist = kernels.hamming_bytes_fixed(a.iloc[idx].tolist(), b.iloc[idx].tolist(), int(w))
+        out[idx] = dist.astype(np.float64)
+    return pd.Series(out).astype("Int64")
+
+
+# ---------------------------------------------------------------------------
+# A3: within-distance predicate (quirk-exact)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(BooleanType())
+def within_dist_hex(a: pd.Series, b: pd.Series, max_dist: pd.Series) -> pd.Series:
+    """Column form of check_hexstrings_within_dist with quirks q1-q3
+    (cc:177-234 + cc:31-68): equal-string shortcut, max_dist>len shortcut,
+    dist<=max_dist otherwise. Reference-raising rows (negative max_dist,
+    invalid hex seen before the early-exit point, length mismatch) → NULL."""
+    out = np.full(len(a), None, dtype=object)
+    md_all = max_dist.to_numpy()
+    for idx, la, lb, w in _by_width(a, b):
+        md = md_all[idx].astype(np.int64)
+        neg = md < 0
+        within, raise_invalid = kernels.within_dist_hex_fixed(la, lb, w, md)
+        vals = np.where(raise_invalid | neg, None, within).astype(object)
+        out[idx] = vals
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (pipeline stage B3)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = r"[a-z0-9]+"
+_MAX_TOKEN_CHARS = 16
+
+
+def _tokenize(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercase alnum tokenization → flat 64-bit token hashes + per-doc
+    start boundaries (for np.add.reduceat segment sums).
+
+    Empty docs contribute one sentinel empty token so reduceat boundaries
+    stay strictly increasing-valid.
+    """
+    toks = text.fillna("").str.lower().str.findall(_TOKEN_RE)
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    tv = toks.to_numpy()
+    for i in np.flatnonzero(counts == 0):  # loop over empty docs only (rare)
+        tv[i] = [""]
+    counts = np.maximum(counts, 1)
+    flat = np.concatenate(tv)
+    # unicode→fixed-width code-point matrix (C-level, no per-token Python)
+    u = flat.astype(f"U{_MAX_TOKEN_CHARS}")
+    mat = u.view(np.uint32).reshape(len(u), _MAX_TOKEN_CHARS)
+    lengths = (mat != 0).sum(axis=1)
+    h64 = kernels.hash_token_matrix(mat, lengths)
+    boundaries = np.zeros(len(text), dtype=np.int64)
+    if len(counts) > 1:
+        np.cumsum(counts[:-1], out=boundaries[1:])
+    return h64, boundaries
+
+
+@F.pandas_udf(BinaryType())
+def simhash256(text: pd.Series) -> pd.Series:
+    """256-bit SimHash of the document text → 32-byte BinaryType signature.
+    Width matches the reference's design fingerprint (README.rst:58: 64 hex
+    chars = 256 bits)."""
+    if len(text) == 0:
+        return pd.Series([], dtype=object)
+    h64, boundaries = _tokenize(text)
+    sigs = kernels.simhash256_from_token_hashes(h64, boundaries)  # (n, 32)
+    return pd.Series([r.tobytes() for r in sigs])
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity (pipeline stage B6's secondary signal)
+# ---------------------------------------------------------------------------
+
+_JW_MAXLEN = 64
+_JW_PREFIX_SCALE = 0.1
+_JW_MAX_PREFIX = 4
+_BIG = np.int64(1 << 30)
+
+
+def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Vectorized Jaro-Winkler over a batch of string pairs.
+
+    Textbook Jaro: m matches within window max(|a|,|b|)//2-1 (greedy,
+    each char used once, left-to-right), t = half the mismatches between
+    the two matched-char sequences; jaro = (m/|a| + m/|b| + (m-t)/m)/3.
+    Winkler boost: + l*p*(1-jaro) for common prefix l<=4, p=0.1.
+
+    Strings are truncated to 64 chars (the pipeline scores canonical keys,
+    not raw text). The position scan loops over <=64 fixed positions with
+    all rows advanced in lockstep — no per-row Python.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0)
+    A = a.fillna("").to_numpy().astype(f"U{_JW_MAXLEN}")
+    B = b.fillna("").to_numpy().astype(f"U{_JW_MAXLEN}")
+    MA = A.view(np.uint32).reshape(n, _JW_MAXLEN)
+    MB = B.view(np.uint32).reshape(n, _JW_MAXLEN)
+    la = (MA != 0).sum(axis=1).astype(np.int64)
+    lb = (MB != 0).sum(axis=1).astype(np.int64)
+
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (n,)
+    jpos = np.arange(_JW_MAXLEN, dtype=np.int64)
+
+    used_b = np.zeros((n, _JW_MAXLEN), dtype=bool)
+    match_j = np.full((n, _JW_MAXLEN), -1, dtype=np.int64)  # j matched to a-pos i
+    for i in range(_JW_MAXLEN):
+        ai = MA[:, i]  # (n,)
+        active = (ai != 0) & (i < la)
+        lo = i - win
+        hi = i + win
+        cand = (
+            (MB == ai[:, None])
+            & (MB != 0)
+            & ~used_b
+            & (jpos[None, :] >= lo[:, None])
+            & (jpos[None, :] <= hi[:, None])
+            & active[:, None]
+        )
+        has = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        rows = np.flatnonzero(has)
+        used_b[rows, j[rows]] = True
+        match_j[rows, i] = j[rows]
+
+    matched_a = match_j >= 0
+    m = matched_a.sum(axis=1).astype(np.int64)
+
+    # a-side matched chars in a-order; b-side matched chars in b-order
+    a_key = np.where(matched_a, jpos[None, :], _BIG)
+    a_ord = np.argsort(a_key, axis=1, kind="stable")
+    a_seq = np.take_along_axis(MA, a_ord, axis=1)
+    b_key = np.where(used_b, jpos[None, :], _BIG)
+    b_ord = np.argsort(b_key, axis=1, kind="stable")
+    b_seq = np.take_along_axis(MB, b_ord, axis=1)
+    rank = jpos[None, :]
+    trans_mask = (rank < m[:, None]) & (a_seq != b_seq)
+    t = trans_mask.sum(axis=1).astype(np.float64) / 2.0
+
+    mf = m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (mf / la + mf / lb + (mf - t) / mf) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    both_empty = (la == 0) & (lb == 0)
+    jaro = np.where(both_empty, 1.0, jaro)
+
+    pref_eq = (MA[:, :_JW_MAX_PREFIX] == MB[:, :_JW_MAX_PREFIX]) & (MA[:, :_JW_MAX_PREFIX] != 0)
+    prefix = np.cumprod(pref_eq, axis=1).sum(axis=1).astype(np.float64)
+    jw = jaro + prefix * _JW_PREFIX_SCALE * (1.0 - jaro)
+    return jw
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(jaro_winkler_matrix(a, b))
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-only helpers (no UDF — stay in whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+def sig_hex(sig_col):
+    """Canonical lowercase 64-hex-char form of a 32-byte signature
+    (reference hex-string encoding rules, cc:52-53: case-insensitive input,
+    we standardize on lowercase)."""
+    return F.lower(F.hex(sig_col))
+
+
+def valid_hex(col):
+    """Vectorized ingest-time analogue of the reference's per-call hex
+    validation (cc:112-116): JVM-side rlike, no UDF."""
+    return col.rlike("^[0-9a-fA-F]*$")
