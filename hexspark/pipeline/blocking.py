@@ -1,0 +1,95 @@
+"""B4/B5 — LSH banding + explicit skew handling.
+
+The 256-bit signature is cut into ``n_bands`` contiguous bands of
+``256 / n_bands`` bits each. Two signatures within hamming distance d are
+*guaranteed* to agree on at least one band whenever d < n_bands (pigeonhole
+— the generalization of the reference's early-exit pruning idea,
+python_hexhamming.cc:62-64, moved from inside the scalar loop up to the
+plan level: prune pairs before scoring instead of mid-scoring).
+
+Everything here is pure Catalyst: band values are substrings of sig_hex
+(whole-stage codegen), candidates come from one self-equi-join on
+(band_id, band_val), and pair dedup is a distinct on the pair key.
+
+Skew (B5): hot band values — boilerplate conversations that share a band
+value with thousands of others — would give one join key a quadratic pair
+blowup. Handled explicitly, per the north rule:
+  1. stop-band cap: band groups larger than ``max_block`` are dropped from
+     candidate generation (each dropped group is observable in the returned
+     stats DF). A conversation cluster that big agrees on *other* bands
+     with near-certainty, and true mega-blocks are boilerplate by
+     construction.
+  2. AQE skew-join splitting remains enabled for residual imbalance
+     (session.py sets spark.sql.adaptive.skewJoin.enabled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIG_HEX_CHARS = 64  # 256 bits
+
+
+def band_projection(signatures: DataFrame, n_bands: int = 16) -> DataFrame:
+    """signatures → bands(conv_id, band_id, band_val).
+
+    band_val is the band's slice of sig_hex — a fixed-width hex substring,
+    computed JVM-side (no UDF, no shuffle).
+    """
+    assert SIG_HEX_CHARS % n_bands == 0, "n_bands must divide 64"
+    w = SIG_HEX_CHARS // n_bands
+    slices = F.array(
+        *[F.substring("sig_hex", i * w + 1, w) for i in range(n_bands)]
+    )
+    return signatures.select(
+        "conv_id", F.posexplode(slices).alias("band_id", "band_val")
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 16,
+    max_block: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH-blocked candidate pairs.
+
+    Returns (pairs, block_stats):
+      pairs(conv_id_a, conv_id_b) with conv_id_a < conv_id_b, distinct
+      block_stats(band_id, band_val, block_size, skipped) — lineage for the
+      skew decision (every dropped block is visible, per north_rule's
+      "skew handled explicitly").
+    """
+    bands = band_projection(signatures, n_bands)
+
+    sizes = bands.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("block_size")
+    )
+    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
+
+    # keep only sane blocks; blocks of size 1 generate no pairs — drop early
+    keep = sizes.where(
+        (F.col("block_size") <= max_block) & (F.col("block_size") > 1)
+    ).select("band_id", "band_val")
+
+    # broadcast the keep-list only if it is small is an optimizer decision;
+    # the equi-join below shuffles on (band_id, band_val) either way and AQE
+    # picks broadcast when sizes allow.
+    kept = bands.join(keep, ["band_id", "band_val"])
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .distinct()  # a pair agreeing on k bands must score once, not k times
+    )
+    return pairs, block_stats

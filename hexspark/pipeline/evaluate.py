@@ -1,0 +1,71 @@
+"""B12 — pairwise precision/recall/F1 against labeled pairs.
+
+Scalable formulation: instead of materializing all intra-cluster pairs
+(quadratic in cluster size), the evaluation universe is the labeled-pair
+table plus the predicted match edges; a pair is *predicted* iff both sides
+landed in the same cluster — two joins of the pair table against the
+cluster assignment, no pair explosion.
+
+Per BASELINE.json, evaluation is restricted to pairs at the shared blocking
+key: the caller passes the candidate-pair set (pairs that shared ≥1 band)
+and labeled pairs are intersected with it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pairwise_f1(
+    labeled_pairs: DataFrame,
+    clusters: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+) -> dict[str, float]:
+    """labeled_pairs(conv_id_a, conv_id_b, is_match) × clusters(conv_id,
+    cluster_id) → {precision, recall, f1, tp, fp, fn}.
+
+    Positives predicted = same cluster_id on both sides. If candidate_pairs
+    is given, labeled positives are restricted to pairs at a shared blocking
+    key (BASELINE.json's evaluation universe) and predicted positives are
+    the candidate pairs whose endpoints share a cluster.
+    """
+    labels = labeled_pairs.select("conv_id_a", "conv_id_b", "is_match")
+    if candidate_pairs is not None:
+        labels = labels.join(candidate_pairs, ["conv_id_a", "conv_id_b"], "inner")
+
+    ca = clusters.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    cb = clusters.select(
+        F.col("conv_id").alias("conv_id_b"), F.col("cluster_id").alias("cl_b")
+    )
+
+    # predicted-positive universe: candidate pairs with same cluster
+    base = candidate_pairs if candidate_pairs is not None else labels.select(
+        "conv_id_a", "conv_id_b"
+    )
+    pred = (
+        base.join(ca, "conv_id_a")
+        .join(cb, "conv_id_b")
+        .where(F.col("cl_a") == F.col("cl_b"))
+        .select("conv_id_a", "conv_id_b")
+    )
+
+    pos = labels.where(F.col("is_match")).select("conv_id_a", "conv_id_b")
+
+    tp = pred.join(pos, ["conv_id_a", "conv_id_b"], "inner").count()
+    fp = pred.join(pos, ["conv_id_a", "conv_id_b"], "left_anti").count()
+    fn = pos.join(pred, ["conv_id_a", "conv_id_b"], "left_anti").count()
+
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "tp": float(tp),
+        "fp": float(fp),
+        "fn": float(fn),
+    }

@@ -1,0 +1,78 @@
+"""Stage table IO: Iceberg when a catalog is configured, parquet fallback.
+
+The north rule targets Iceberg tables. This sandbox has no Iceberg runtime
+jar, so `TableIO` probes for an Iceberg-capable catalog at construction and
+falls back to plain parquet paths with identical call sites — on a real
+cluster, setting
+
+    spark.sql.catalog.lake                = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.lake.type           = hadoop | hive | rest
+    hexspark.catalog                      = lake
+    hexspark.warehouse                    = <namespace>
+
+switches every stage write to `df.writeTo('lake.<ns>.<table>')
+.createOrReplace()` with no code change. Writes are atomic-by-rename for
+parquet (write to tmp dir, rename) to keep resume semantics safe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.catalog = spark.conf.get("hexspark.catalog", None)
+        self.namespace = spark.conf.get("hexspark.warehouse", "hexspark")
+        self.use_iceberg = False
+        if self.catalog:
+            try:
+                spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}")
+                self.use_iceberg = True
+            except Exception:
+                self.use_iceberg = False
+        if not self.use_iceberg:
+            os.makedirs(workdir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(f"{self.catalog}.{self.namespace}.{name}")
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        if self.use_iceberg:
+            w = df.writeTo(f"{self.catalog}.{self.namespace}.{name}")
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                w = w.partitionedBy(*[col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        tmp = self._path(f"_tmp_{name}")
+        final = self._path(name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.use_iceberg:
+            df.writeTo(f"{self.catalog}.{self.namespace}.{name}").append()
+            return
+        df.write.mode("append").parquet(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(f"{self.catalog}.{self.namespace}.{name}")
+        return self.spark.read.parquet(self._path(name))

@@ -1,0 +1,134 @@
+"""End-to-end pipeline runner with checkpoint/resume and stage lineage.
+
+Every stage materializes its output table (Iceberg or parquet via TableIO),
+records per-partition metrics, and marks completion in a run manifest.
+A rerun with the same workdir skips stages whose outputs already exist —
+kill-after-stage-k resume is exercised by tests/test_resume.py.
+
+Stage graph:
+    transcripts ─ B2 → conversations ─ B3 → signatures ─ B4/B5 → pairs
+    pairs × signatures ─ B6/B7 → edges ─ B8/B9 → clusters
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import assemble, blocking, clustering, scoring, simhash
+from .io import TableIO
+from .metrics import StageTimer, partition_metrics
+
+
+@dataclass
+class PipelineConfig:
+    n_bands: int = 16
+    max_block: int = 2000
+    max_dist: int = 20
+    alpha: float = 0.75
+    min_score: float = 0.0
+    cc_max_iter: int = 20
+    pair_partitions: int | None = None  # explicit repartition before scoring
+
+
+@dataclass
+class PipelineResult:
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    cc_rounds: int = 0
+    run_id: str = ""
+
+
+class Runner:
+    """Resumable ER pipeline over a transcripts table."""
+
+    STAGES = ["conversations", "signatures", "candidate_pairs", "edges", "clusters"]
+
+    def __init__(self, spark: SparkSession, workdir: str, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.io = TableIO(spark, workdir)
+        self.cfg = config or PipelineConfig()
+        self.workdir = workdir
+        self._manifest_path = os.path.join(workdir, "run_manifest.json")
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"completed": {}, "run_id": str(uuid.uuid4())[:8]}
+
+    def _mark(self, manifest: dict, stage: str, rows: int, wall_ms: int) -> None:
+        manifest["completed"][stage] = {"rows": rows, "wall_ms": wall_ms}
+        os.makedirs(self.workdir, exist_ok=True)
+        with open(self._manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    # -- stage execution ----------------------------------------------------
+    def _run_stage(
+        self, manifest: dict, result: PipelineResult, stage: str, build, partition_by=None
+    ) -> DataFrame:
+        if manifest["completed"].get(stage) and self.io.exists(stage):
+            result.stages_skipped.append(stage)
+            df = self.io.read(stage)
+            result.tables[stage] = df
+            return df
+        timer = StageTimer()
+        df = build()
+        self.io.write(df, stage, partition_by=partition_by)
+        out = self.io.read(stage)
+        wall = timer.wall_ms()
+        rows = out.count()
+        self.io.append(
+            partition_metrics(out, stage, manifest["run_id"], wall), "stage_metrics"
+        )
+        self._mark(manifest, stage, rows, wall)
+        result.stages_run.append(stage)
+        result.tables[stage] = out
+        return out
+
+    # -- pipeline -----------------------------------------------------------
+    def run(self, transcripts: DataFrame) -> PipelineResult:
+        manifest = self._manifest()
+        result = PipelineResult(run_id=manifest["run_id"])
+        cfg = self.cfg
+
+        convs = self._run_stage(
+            manifest, result, "conversations",
+            lambda: assemble.assemble_conversations(transcripts),
+        )
+        sigs = self._run_stage(
+            manifest, result, "signatures", lambda: simhash.signatures(convs)
+        )
+
+        def build_pairs() -> DataFrame:
+            pairs, stats = blocking.candidate_pairs(
+                sigs, n_bands=cfg.n_bands, max_block=cfg.max_block
+            )
+            self.io.write(stats.where(F.col("skipped")), "skipped_blocks")
+            return pairs
+
+        pairs = self._run_stage(manifest, result, "candidate_pairs", build_pairs)
+
+        def build_edges() -> DataFrame:
+            p = pairs
+            if cfg.pair_partitions:
+                p = p.repartition(cfg.pair_partitions)
+            scored = scoring.score_pairs(p, sigs, alpha=cfg.alpha)
+            return scoring.match_edges(scored, max_dist=cfg.max_dist, min_score=cfg.min_score)
+
+        edges = self._run_stage(manifest, result, "edges", build_edges)
+
+        def build_clusters() -> DataFrame:
+            cc, rounds = clustering.connected_components(edges, max_iter=cfg.cc_max_iter)
+            result.cc_rounds = rounds
+            return clustering.with_singletons(cc, sigs.select("conv_id"))
+
+        self._run_stage(manifest, result, "clusters", build_clusters)
+        return result
