@@ -1,38 +1,511 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  : flagship query — SimHash near-dup detection + transitive
+                clustering over /root/testdata/sf0.001 documents (the whole
+                ER engine end-to-end on driver-provided data).
+queries()     : one entry per implemented operator from SURVEY.md §2 and the
+                training-data ops; each callable (spark, sf_dir) → DataFrame.
+oracle_sql()  : DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+                Non-SQL-expressible ops (SimHash pipeline stages, LSH-ANN,
+                multimodal plumbing) intentionally have no oracle → the
+                driver records the weaker rows-only check; their semantics
+                are pinned by tests/ instead (union-find oracle, recall vs
+                brute force, scalar JW oracle).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _md5(col):
+    return F.md5(col.cast("binary"))
+
+
+# DuckDB SQL fragment: hamming distance between two 32-hex-char digests as
+# 4x 32-bit chunk XOR popcounts (the oracle-side mirror of the A1 kernel).
+def _sql_hamming128(ha: str, hb: str) -> str:
+    terms = [
+        f"bit_count(xor(('0x'||substr({ha},{i*8+1},8))::BIGINT,"
+        f"('0x'||substr({hb},{i*8+1},8))::BIGINT))"
+        for i in range(4)
+    ]
+    return "(" + "+".join(terms) + ")::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """SimHash near-dup clusters over sf0.001 documents: fingerprint → LSH
+    blocking → hamming scoring → connected components → cluster sizes."""
+    from hexspark.ops.dedup import simhash_neardup_pairs
+    from hexspark.pipeline.clustering import connected_components, with_singletons
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    edges = simhash_neardup_pairs(docs, max_dist=60).select(
+        F.col("id_a").alias("conv_id_a"), F.col("id_b").alias("conv_id_b")
+    )
+    cc, _ = connected_components(edges)
+    clusters = with_singletons(
+        cc, docs.select(F.col("doc_id").cast("string").alias("conv_id"))
+    )
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 kernel over md5 fingerprints: per-lang doc pairs + hamming dist."""
+    from hexspark import columns as C
+
+    f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    a, b = f.alias("a"), f.alias("b")
+    return a.join(
+        b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        C.hamming_hex(F.col("a.h"), F.col("b.h")).alias("hamming_dist"),
+    )
+
+
+def q_within_dist_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 predicate aggregated: pairs within dist<=48 per lang."""
+    from hexspark import columns as C
+
+    f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    a, b = f.alias("a"), f.alias("b")
+    pairs = a.join(
+        b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.lang").alias("lang"), C.hamming_hex("a.h", "b.h").alias("d"))
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("d") <= 48, 1).otherwise(0)).alias("n_within"),
+    )
+
+
+def q_probe_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: first (min) doc_id whose fingerprint is within dist 55 of the
+    probe (doc 0), -1 if none — order-free min, broadcast probe."""
+    from hexspark import columns as C
+
+    f = _docs(spark, sf_dir).select("doc_id", _md5(F.col("text")).alias("h"))
+    probe = f.where(F.col("doc_id") == 0).select(F.col("h").alias("ph"))
+    return (
+        f.where(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .where(C.hamming_hex("h", "ph") <= 55)
+        .agg(F.coalesce(F.min("doc_id"), F.lit(-1)).cast("long").alias("first_idx"))
+    )
+
+
+def q_assemble_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 assembly shape: per-user ordered event-type sequence."""
+    ev = _events(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(F.transform(ordered, lambda s: s["event_type"]), ",").alias("seq"),
+    )
+
+
+def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 band projection: 16 bands x 8 bits of the md5 fingerprint."""
+    f = _docs(spark, sf_dir).select("doc_id", _md5(F.col("text")).alias("h"))
+    slices = F.array(*[F.substring("h", i * 2 + 1, 2) for i in range(16)])
+    return f.select(
+        "doc_id", F.posexplode(slices).alias("band_id", "band_val")
+    ).withColumn("band_id", F.col("band_id").cast("long"))
+
+
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 blocking self-join: pairs sharing >=1 band + shared-band count."""
+    bands = q_lsh_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def q_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4→B7 composed: blocked pairs scored with the hamming kernel and
+    gated at dist<=60 (A3 pipeline-layer predicate)."""
+    from hexspark import columns as C
+
+    f = _docs(spark, sf_dir).select("doc_id", _md5(F.col("text")).alias("h"))
+    pairs = q_candidate_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return (
+        pairs.join(f.select(F.col("doc_id").alias("doc_id_a"), F.col("h").alias("ha")), "doc_id_a")
+        .join(f.select(F.col("doc_id").alias("doc_id_b"), F.col("h").alias("hb")), "doc_id_b")
+        .withColumn("hamming_dist", C.hamming_hex("ha", "hb"))
+        .where(F.col("hamming_dist") <= 60)
+        .select("doc_id_a", "doc_id_b", "hamming_dist")
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over a table with planted exact copies (documents
+    unioned with an id-shifted copy of itself)."""
+    from hexspark.ops.dedup import exact_dedup_groups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_dedup_groups(doubled)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) LSH near-dup candidates + Jaccard estimate."""
+    from hexspark.ops.dedup import minhash_pairs
+
+    return minhash_pairs(_docs(spark, sf_dir), k=8, max_block=1_000_000_000)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram character Jaccard for adjacent-id doc pairs."""
+    from hexspark.ops.dedup import ngram_jaccard
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.round(ngram_jaccard(F.col("a.text"), F.col("b.text")), 6).alias("jaccard"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for probe vectors vec_id<10."""
+    from hexspark.ops.ann import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = brute_force_topk(emb, probes, k=5)
+    return out.select(
+        "probe_id", "vec_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Jaro-Winkler (B6 secondary scorer) on adjacent doc pairs'
+    canonical 32-char keys — oracled against DuckDB's jaro_winkler_similarity."""
+    from hexspark import columns as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 32).alias("canon")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.round(C.jaro_winkler(F.col("a.canon"), F.col("b.canon")), 6).alias("jw"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.ops.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.ops.text import punct_ratio, quality_score, stopword_hits, token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        stopword_hits(F.col("text")).cast("long").alias("stop_hits"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.ops.text import doc_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.ops.text import lang_scores
+
+    docs = _docs(spark, sf_dir)
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].cast("long").alias(f"{lang}_hits") for lang in sorted(scores)],
+    )
+
+
+# --- non-SQL-expressible ops (rows-only driver check; semantics pinned by
+# pytest oracles instead) ----------------------------------------------------
+
+
+def _synthetic_pipeline(spark: SparkSession):
+    from hexspark import fixtures
+    from hexspark.pipeline import assemble, blocking, clustering, scoring, simhash
+
+    tr = fixtures.transcripts_df(spark, n_base=40, seed=42, mutation_rate=0.01)
+    convs = assemble.assemble_conversations(tr)
+    sigs = simhash.signatures(convs)
+    pairs, _ = blocking.candidate_pairs(sigs)
+    edges = scoring.match_edges(scoring.score_pairs(pairs, sigs), max_dist=40)
+    cc, _ = clustering.connected_components(edges)
+    clusters = clustering.with_singletons(cc, sigs.select("conv_id"))
+    return sigs, pairs, edges, clusters
+
+
+def q_pipeline_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs, _, _, _ = _synthetic_pipeline(spark)
+    return sigs.select("conv_id", "sig_hex", "n_turns", "n_chars")
+
+
+def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, _, clusters = _synthetic_pipeline(spark)
+    return clusters
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.ops.ann import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = lsh_topk(emb, probes, k=5, dim=64)
+    return out.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.ops.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media, fake_decode=True)
+    return feats.select("media_id", "kind", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "hamming_pairs": q_hamming_pairs,
+        "within_dist_by_lang": q_within_dist_by_lang,
+        "probe_first_match": q_probe_first_match,
+        "assemble_user_events": q_assemble_user_events,
+        "lsh_bands": q_lsh_bands,
+        "candidate_pairs": q_candidate_pairs,
+        "match_edges": q_match_edges,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "jaro_winkler": q_jaro_winkler,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_marker_scores": q_lang_marker_scores,
+        "pipeline_signatures": q_pipeline_signatures,
+        "pipeline_clusters": q_pipeline_clusters,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = _sql_hamming128
+    return {
+        "hamming_pairs": f"""
+            WITH f AS (SELECT doc_id, lang, md5(text) AS h FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   {d('a.h', 'b.h')} AS hamming_dist
+            FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        """,
+        "within_dist_by_lang": f"""
+            WITH f AS (SELECT doc_id, lang, md5(text) AS h FROM documents)
+            SELECT a.lang AS lang, count(*)::BIGINT AS n_pairs,
+                   sum(CASE WHEN {d('a.h', 'b.h')} <= 48 THEN 1 ELSE 0 END)::BIGINT AS n_within
+            FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY a.lang
+        """,
+        "probe_first_match": f"""
+            WITH f AS (SELECT doc_id, md5(text) AS h FROM documents),
+                 p AS (SELECT h AS ph FROM f WHERE doc_id = 0)
+            SELECT coalesce(min(f.doc_id), -1)::BIGINT AS first_idx
+            FROM f, p WHERE f.doc_id <> 0 AND {d('f.h', 'p.ph')} <= 55
+        """,
+        "assemble_user_events": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "lsh_bands": """
+            SELECT doc_id, r.band_id AS band_id,
+                   substr(md5(text), (r.band_id*2+1)::INT, 2) AS band_val
+            FROM documents CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r
+        """,
+        "candidate_pairs": """
+            WITH bands AS (
+              SELECT doc_id, r.band_id AS band_id,
+                     substr(md5(text), (r.band_id*2+1)::INT, 2) AS band_val
+              FROM documents CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*)::BIGINT AS n_shared
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "match_edges": f"""
+            WITH f AS (SELECT doc_id, md5(text) AS h FROM documents),
+            bands AS (
+              SELECT doc_id, r.band_id AS band_id,
+                     substr(md5(text), (r.band_id*2+1)::INT, 2) AS band_val
+              FROM documents CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r),
+            cp AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT cp.doc_id_a, cp.doc_id_b, {d('fa.h', 'fb.h')} AS hamming_dist
+            FROM cp JOIN f fa ON cp.doc_id_a = fa.doc_id JOIN f fb ON cp.doc_id_b = fb.doc_id
+            WHERE {d('fa.h', 'fb.h')} <= 60
+        """,
+        "exact_dedup": """
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+            SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_dups,
+                   min(doc_id) AS canonical_id
+            FROM doubled GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_pairs": """
+            WITH sig AS (
+              SELECT doc_id, p.perm AS perm,
+                     list_min(list_transform(string_split(text, ' '),
+                              s -> md5(p.perm::VARCHAR || s))) AS mh
+              FROM documents CROSS JOIN (SELECT unnest(range(0,8)) AS perm) p)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared,
+                   count(*) / 8.0 AS est_jaccard
+            FROM sig a JOIN sig b
+              ON a.perm = b.perm AND a.mh = b.mh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(text)-1),
+                                   i -> substr(text, i::INT, 3))) AS ng
+              FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(len(list_filter(a.ng, x -> list_contains(b.ng, x)))::DOUBLE
+                         / (len(a.ng) + len(b.ng)
+                            - len(list_filter(a.ng, x -> list_contains(b.ng, x)))),
+                         6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        "ann_topk": """
+            WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT p.probe_id, e.vec_id,
+                         list_cosine_similarity(p.pv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+                  FROM p, embeddings e WHERE e.vec_id <> p.probe_id),
+            r AS (SELECT probe_id, vec_id, sim,
+                         row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT probe_id, vec_id, round(sim, 6) AS sim, rank::BIGINT AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "jaro_winkler": """
+            WITH c AS (SELECT doc_id, substr(text, 1, 32) AS canon FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(jaro_winkler_similarity(a.canon, b.canon), 6) AS jw
+            FROM c a JOIN c b ON b.doc_id = a.doc_id + 1
+        """,
+        "token_stats": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                   round(avg(len(text)), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     len(list_filter(string_split(lower(text), ' '),
+                                     x -> x IN {_STOP_SQL}))::BIGINT AS stop_hits,
+                     (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / len(text) AS pr,
+                     len(text)::DOUBLE AS n
+              FROM documents)
+            SELECT doc_id, n_tokens, stop_hits, round(pr, 6) AS punct_ratio,
+                   round(0.5 * least(n / 400.0, 1.0)
+                       + 0.3 * least(stop_hits / greatest(n_tokens::DOUBLE, 1.0) * 5.0, 1.0)
+                       + 0.2 * (1.0 - least(pr * 5.0, 1.0)), 6) AS quality
+            FROM q
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+            FROM documents
+        """,
+        "lang_marker_scores": """
+            WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('der','die','und')))::BIGINT AS de_hits,
+                   len(list_filter(toks, x -> x IN ('the','and','of')))::BIGINT AS en_hits,
+                   len(list_filter(toks, x -> x IN ('el','la','de')))::BIGINT AS es_hits,
+                   len(list_filter(toks, x -> x IN ('le','la','et')))::BIGINT AS fr_hits
+            FROM t
+        """,
+    }

@@ -158,16 +158,19 @@ def simhash256(text: pd.Series) -> pd.Series:
 _JW_MAXLEN = 64
 _JW_PREFIX_SCALE = 0.1
 _JW_MAX_PREFIX = 4
+_JW_BOOST_THRESHOLD = 0.7  # Winkler's original boost condition: jaro > 0.7
 _BIG = np.int64(1 << 30)
 
 
 def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
     """Vectorized Jaro-Winkler over a batch of string pairs.
 
-    Textbook Jaro: m matches within window max(|a|,|b|)//2-1 (greedy,
-    each char used once, left-to-right), t = half the mismatches between
-    the two matched-char sequences; jaro = (m/|a| + m/|b| + (m-t)/m)/3.
-    Winkler boost: + l*p*(1-jaro) for common prefix l<=4, p=0.1.
+    strcmp95-convention Jaro (matches DuckDB/rapidfuzz): m matches within
+    window max(|a|,|b|)//2-1 (greedy, each char used once, left-to-right),
+    t = integer-half of the mismatches between the two matched-char
+    sequences; jaro = (m/|a| + m/|b| + (m-t)/m)/3. Winkler boost:
+    + l*p*(1-jaro) for common prefix l<=4, p=0.1, applied only when
+    jaro > 0.7 (Winkler's original boost threshold).
 
     Strings are truncated to 64 chars (the pipeline scores canonical keys,
     not raw text). The position scan loops over <=64 fixed positions with
@@ -219,7 +222,8 @@ def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
     b_seq = np.take_along_axis(MB, b_ord, axis=1)
     rank = jpos[None, :]
     trans_mask = (rank < m[:, None]) & (a_seq != b_seq)
-    t = trans_mask.sum(axis=1).astype(np.float64) / 2.0
+    # strcmp95 convention (shared by DuckDB/rapidfuzz): integer half
+    t = (trans_mask.sum(axis=1) // 2).astype(np.float64)
 
     mf = m.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -230,7 +234,9 @@ def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
 
     pref_eq = (MA[:, :_JW_MAX_PREFIX] == MB[:, :_JW_MAX_PREFIX]) & (MA[:, :_JW_MAX_PREFIX] != 0)
     prefix = np.cumprod(pref_eq, axis=1).sum(axis=1).astype(np.float64)
-    jw = jaro + prefix * _JW_PREFIX_SCALE * (1.0 - jaro)
+    jw = np.where(
+        jaro > _JW_BOOST_THRESHOLD, jaro + prefix * _JW_PREFIX_SCALE * (1.0 - jaro), jaro
+    )
     return jw
 
 

@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k — probes broadcast against the
+  embedding table; dot/norms via built-in higher-order functions
+  (zip_with + aggregate, JVM codegen, no Python); top-k via window
+  row_number partitioned by probe. The baseline every ANN variant is
+  measured against.
+- lsh_topk: sign-random-projection LSH — h hyperplanes → h-bit bucket key;
+  candidates = same-bucket (multi-probe over bucket permutations optional);
+  exact cosine re-rank inside buckets. The 100 TB path: bucket key is
+  computed in one Arrow-vectorized pandas UDF (numpy matmul per batch),
+  the join is an equi-join on the bucket key, and only bucket-local pairs
+  pay the exact-cosine cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def cosine_sim(a_col, b_col):
+    """Column: cosine similarity of two array<numeric> columns, computed in
+    double (element-wise double cast → dot and norms via aggregate)."""
+    prod = F.zip_with(a_col, b_col, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(
+        F.aggregate(a_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per probe.
+
+    probes(probe_id, probe_vec) × embeddings(vec_id, embedding) →
+    (probe_id, vec_id, sim, rank) with rank 1..k by (sim desc, vec_id asc),
+    self-matches excluded. The probe side is broadcast — it is small by
+    construction; the scan side streams."""
+    joined = embeddings.crossJoin(F.broadcast(probes))
+    sim = cosine_sim(F.col("probe_vec"), F.col(vec_col))
+    scored = joined.where(F.col("probe_id") != F.col(id_col)).select(
+        "probe_id", F.col(id_col).alias("vec_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _bucket_udf(planes: np.ndarray):
+    """Returns a pandas UDF computing the sign-projection bucket id of an
+    embedding batch: one numpy matmul per Arrow batch."""
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack(vecs.to_numpy())  # (n, dim) float32
+        signs = (m @ planes.T) > 0  # (n, h)
+        weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: sign-random-projection buckets + exact
+    re-rank within the probe's bucket. Recall measured vs brute_force_topk
+    in tests; at scale the equi-join on bucket_id replaces the full scan."""
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim)).astype(np.float32)
+    bucket = _bucket_udf(planes)
+    emb_b = embeddings.withColumn("bucket", bucket(F.col(vec_col)))
+    probes_b = probes.withColumn("bucket", bucket(F.col("probe_vec")))
+    joined = emb_b.join(F.broadcast(probes_b), "bucket")
+    sim = cosine_sim(F.col("probe_vec"), F.col(vec_col))
+    scored = joined.where(F.col("probe_id") != F.col(id_col)).select(
+        "probe_id", F.col(id_col).alias("vec_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,131 @@
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Design notes for 100 TB:
+- exact dedup is one hash-aggregate on a digest column — the digest is
+  computed map-side (md5, JVM codegen) so the shuffle carries 16 bytes per
+  row, not the document text.
+- MinHash permutations use md5(perm_id || token): engine-agnostic and
+  deterministic (string-min over hex digests is a valid min-hash), fully
+  expressible in Catalyst (transform + array_min) — no UDF, whole-stage
+  codegen end to end.
+- MinHash LSH pairing explodes k rows per doc and self-joins on
+  (perm, minhash) — same shape as the signature LSH blocking in
+  pipeline/blocking.py, same skew story (hot minhash values = boilerplate
+  docs; cap with max_block).
+- n-gram Jaccard is transform(sequence) + array_distinct + cardinality
+  arithmetic, all built-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: (text_md5, n_dups, canonical_id) for groups
+    with >1 member. canonical_id = min id (B9 canonicalization semantics)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _perm_min(toks, perm: int):
+    # NB: the closure must take exactly one lambda arg — a two-arg lambda
+    # would make Spark bind the second to the array index column.
+    return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(str(perm)), t))))
+
+
+def minhash_signature(text_col, k: int = 8):
+    """Column: array of k min-hashes of the whitespace token set.
+    Permutation i = lexicographic min over tokens of md5(i || token)."""
+    toks = F.split(text_col, " ")
+    return F.array(*[_perm_min(toks, i) for i in range(k)])
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_block: int = 5000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing >=1 of k min-hashes.
+    Returns (id_a, id_b, n_shared, est_jaccard) with id_a < id_b.
+    est_jaccard = n_shared / k (the standard MinHash estimator)."""
+    sig = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(minhash_signature(F.col(text_col), k)).alias("perm", "mh")
+    )
+    sizes = sig.groupBy("perm", "mh").count().where(F.col("count") <= max_block)
+    kept = sig.join(sizes.select("perm", "mh"), ["perm", "mh"])
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.perm") == F.col("b.perm"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("est_jaccard", F.col("n_shared") / F.lit(float(k)))
+    )
+
+
+def ngram_set(text_col, n: int = 3):
+    """Column: distinct character n-grams of a string (empty for short strings)."""
+    return F.array_distinct(
+        F.when(
+            F.length(text_col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+                lambda i: F.substring(text_col, i, n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard(a_col, b_col, n: int = 3):
+    """Column: Jaccard similarity of the distinct character-n-gram sets."""
+    sa, sb = ngram_set(a_col, n), ngram_set(b_col, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    max_dist: int = 40,
+    max_block: int = 5000,
+) -> DataFrame:
+    """SimHash near-dup pairs over arbitrary document tables — the ER
+    pipeline's fingerprint+block+score core packaged as a standalone dedup
+    operator. Returns (id_a, id_b, hamming_dist)."""
+    from .. import columns as C
+    from ..pipeline import blocking, scoring
+
+    sigs = (
+        docs.select(F.col(id_col).cast("string").alias("conv_id"), F.col(text_col).alias("doc_text"))
+        .withColumn("sig", C.simhash256("doc_text"))
+        .withColumn("sig_hex", C.sig_hex(F.col("sig")))
+        .withColumn("canon", F.substring(F.lower(F.col("doc_text")), 1, 48))
+    )
+    pairs, _ = blocking.candidate_pairs(sigs, n_bands=n_bands, max_block=max_block)
+    scored = scoring.score_pairs(pairs, sigs)
+    return scoring.match_edges(scored, max_dist=max_dist).select(
+        F.col("conv_id_a").alias("id_a"),
+        F.col("conv_id_b").alias("id_b"),
+        "hamming_dist",
+    )

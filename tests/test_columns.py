@@ -1,0 +1,140 @@
+"""Spark column-function tests: the reference semantics exercised through
+the pandas-UDF layer on a live session, plus Jaro-Winkler parity with an
+independent scalar implementation (strcmp95 conventions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import columns as C
+
+
+def jw_scalar(s1: str, s2: str) -> float:
+    """Independent scalar Jaro-Winkler, strcmp95 conventions (int-half
+    transpositions, 0.7 boost threshold) — the oracle for the vectorized
+    batch implementation."""
+    s1, s2 = s1[:64], s2[:64]
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    w = max(max(len(s1), len(s2)) // 2 - 1, 0)
+    used = [False] * len(s2)
+    mj = []
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - w), min(len(s2) - 1, i + w) + 1):
+            if not used[j] and s2[j] == c:
+                used[j] = True
+                mj.append((i, j))
+                break
+    m = len(mj)
+    if m == 0:
+        return 0.0
+    a_seq = [s1[i] for i, _ in mj]
+    b_seq = [s2[j] for j in sorted(j for _, j in mj)]
+    t = sum(x != y for x, y in zip(a_seq, b_seq)) // 2
+    jaro = (m / len(s1) + m / len(s2) + (m - t) / m) / 3
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for x, y in zip(s1[:4], s2[:4]):
+        if x != y:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1 - jaro)
+
+
+def test_jaro_winkler_batch_vs_scalar_oracle():
+    rng = np.random.default_rng(17)
+    cases = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("", ""),
+        ("a", ""),
+        ("abc", "abc"),
+        ("abcdef", "abcxyz"),
+    ]
+    for _ in range(800):
+        n1, n2 = rng.integers(0, 20, 2)
+        cases.append(
+            (
+                "".join(rng.choice(list("abcde "), n1)),
+                "".join(rng.choice(list("abcde "), n2)),
+            )
+        )
+    got = C.jaro_winkler_matrix(
+        pd.Series([c[0] for c in cases]), pd.Series([c[1] for c in cases])
+    )
+    for i, (s1, s2) in enumerate(cases):
+        assert abs(got[i] - jw_scalar(s1, s2)) < 1e-12, (s1, s2)
+
+
+def test_hamming_columns_on_spark(spark):
+    df = spark.createDataFrame(
+        [
+            ("deadbeef", "00000000", 4),
+            ("abc", "abc", 0),
+            ("ggg", "ggg", 1),  # q1: equal invalid → within True, dist NULL
+            ("xyz", "abc", 4),  # q2: max_dist > len → within True, dist NULL
+            ("abc", "abcd", 2),  # length mismatch → both NULL
+            ("f" * 64, "0" * 64, 300),
+        ],
+        "a string, b string, md int",
+    )
+    rows = df.select(
+        C.hamming_hex("a", "b").alias("d"),
+        C.within_dist_hex("a", "b", "md").alias("w"),
+    ).collect()
+    assert [r["d"] for r in rows] == [24, 0, None, None, None, 256]
+    assert [r["w"] for r in rows] == [False, True, True, True, None, True]
+
+
+def test_hamming_bytes_on_spark(spark):
+    df = spark.createDataFrame(
+        [(b"\xff" * 32, b"\x00" * 32), (b"\xab\x0c", b"\xab\x0c"), (b"\x01", b"\x01\x02")],
+        "a binary, b binary",
+    )
+    rows = df.select(C.hamming_bytes("a", "b").alias("d")).collect()
+    assert [r["d"] for r in rows] == [256, 0, None]
+
+
+def test_simhash_deterministic_and_locality(spark):
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog " * 10),
+        ("b", "the quick brown fox jumps over the lazy dog " * 10),
+        ("c", "the quick brown fox leaps over the lazy dog " * 10),
+        ("d", "completely unrelated content about spark query engines " * 10),
+    ]
+    df = spark.createDataFrame(texts, "id string, text string")
+    sigs = {
+        r["id"]: r["sig"]
+        for r in df.select("id", C.simhash256("text").alias("sig")).collect()
+    }
+    assert all(len(s) == 32 for s in sigs.values())
+    assert sigs["a"] == sigs["b"]
+
+    def hd(x, y):
+        return int(
+            np.unpackbits(
+                np.frombuffer(x, dtype=np.uint8) ^ np.frombuffer(y, dtype=np.uint8)
+            ).sum()
+        )
+
+    assert hd(sigs["a"], sigs["c"]) < hd(sigs["a"], sigs["d"])
+    assert hd(sigs["a"], sigs["c"]) <= 40
+
+
+def test_first_match_probe_query(spark):
+    from hexspark.pipeline.probe import first_match_index
+
+    rows = [(i, bytes([i]) * 16) for i in range(100)]
+    df = spark.createDataFrame(rows, "idx long, sig binary")
+    probe = bytes([40]) * 16
+    # exact element at idx 40
+    assert first_match_index(df, probe, 0).collect()[0]["first_idx"] == 40
+    # no element within 0 of a novel probe (bytes 200 not in table)
+    assert first_match_index(df, bytes([200]) * 16, 0).collect()[0]["first_idx"] == -1
