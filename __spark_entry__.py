@@ -64,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from hexspark.pipeline.clustering import connected_components, with_singletons
 
     docs = _docs(spark, "/root/testdata/sf0.001")
-    edges = simhash_neardup_pairs(docs, max_dist=60).select(
+    edges = simhash_neardup_pairs(docs, max_dist=30).select(
         F.col("id_a").alias("conv_id_a"), F.col("id_b").alias("conv_id_b")
     )
     cc, _ = connected_components(edges)

@@ -1,0 +1,153 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  er_pipeline      : full ER pipeline (assemble → SimHash → LSH block →
+                     score → connected components) over the synthetic
+                     transcript table scaled to the SF
+  scoring_kernel   : hamming+JW scoring throughput over ~2M signature pairs
+                     (the moral equivalent of the reference's pairs/sec
+                     number — BASELINE.md: ~10.3M pairs/s single-core for
+                     the bare C hamming call at 64 hex chars)
+  hamming_pairs / match_edges / minhash_pairs / ann_topk / exact_dedup:
+                     driver-contract queries over the testdata tables
+
+Output: {"metric": "headline_suite_sec", "value": <total sec>, "unit":
+"sec", "queries": {...per-query sec...}, "sf": <sf>, plus throughput keys}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from hexspark import fixtures
+    from hexspark.pipeline import assemble, blocking, clustering, scoring, simhash
+    from hexspark.session import get_spark
+
+    spark = get_spark(
+        app_name="hexspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- ER pipeline over synthetic transcripts scaled to SF ---------------
+    n_base = max(int(20000 * sf), 200)
+    tr = fixtures.transcripts_df(spark, n_base=n_base, seed=42, mutation_rate=0.01)
+
+    def run_pipeline():
+        convs = assemble.assemble_conversations(tr)
+        sigs = simhash.signatures(convs).persist()
+        n_sigs = sigs.count()
+        pairs, _ = blocking.candidate_pairs(sigs)
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+        edges = scoring.match_edges(scoring.score_pairs(pairs, sigs), max_dist=40).persist()
+        n_edges = edges.count()
+        cc, rounds = clustering.connected_components(edges)
+        clusters = clustering.with_singletons(cc, sigs.select("conv_id"))
+        n_clusters = clusters.count()
+        return sigs, n_sigs, n_pairs, n_edges, n_clusters, rounds
+
+    sigs, n_sigs, n_pairs, n_edges, n_clusters, rounds = timed("er_pipeline", run_pipeline)
+    extras["er_n_convs"] = n_sigs
+    extras["er_n_candidate_pairs"] = n_pairs
+    extras["er_n_edges"] = n_edges
+    extras["er_n_clusters"] = n_clusters
+    extras["er_cc_rounds"] = rounds
+    extras["er_convs_per_sec"] = round(n_sigs / timings["er_pipeline"], 1)
+
+    # --- bulk scoring throughput (~2M pairs) --------------------------------
+    # bucket self-join yields ~n^2/(2*n_buckets) pairs; the explicit
+    # repartition spreads the scored pairs across all cores regardless of
+    # how few join keys there are.
+    pairs_target = 2_000_000
+    n_buckets = max(round(n_sigs * n_sigs / 2 / pairs_target), 1)
+    s = sigs.select("conv_id", "sig", "canon")
+    a = s.select(
+        F.col("conv_id").alias("ca"), F.col("sig").alias("sig_a"), F.col("canon").alias("canon_a"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
+    )
+    b = s.select(
+        F.col("conv_id").alias("cb"), F.col("sig").alias("sig_b"), F.col("canon").alias("canon_b"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
+    )
+    from hexspark import columns as C
+    from hexspark.pipeline.scoring import _score_batches
+
+    bulk = (
+        a.join(b, "bk")
+        .where(F.col("ca") < F.col("cb"))
+        .select(
+            F.col("ca").alias("conv_id_a"), F.col("cb").alias("conv_id_b"),
+            "sig_a", "sig_b", "canon_a", "canon_b",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    total_bulk = bulk.count()  # materialize pairs so kernels time only scoring
+    n_h = timed(
+        "scoring_hamming",
+        lambda: bulk.where(C.hamming_bytes("sig_a", "sig_b") <= 40).count(),
+    )
+    score_schema = "conv_id_a string, conv_id_b string, hamming_dist long, jw double, score double"
+    n_hjw = timed(
+        "scoring_hybrid",
+        lambda: bulk.mapInArrow(_score_batches(0.75), score_schema)
+        .where((F.col("hamming_dist") <= 40) | (F.col("jw") > 0.9))
+        .count(),
+    )
+    bulk.unpersist()
+    extras["bulk_pairs_scored"] = int(total_bulk)
+    extras["hamming_pairs_per_sec"] = round(total_bulk / timings["scoring_hamming"], 1)
+    extras["pairs_scored_per_sec"] = round(total_bulk / timings["scoring_hybrid"], 1)
+
+    # --- driver-contract queries over testdata ------------------------------
+    qs = entrymod.queries()
+    for name in ("hamming_pairs", "match_edges", "minhash_pairs", "ann_topk", "exact_dedup"):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

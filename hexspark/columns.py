@@ -162,37 +162,21 @@ _JW_BOOST_THRESHOLD = 0.7  # Winkler's original boost condition: jaro > 0.7
 _BIG = np.int64(1 << 30)
 
 
-def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
-    """Vectorized Jaro-Winkler over a batch of string pairs.
-
-    strcmp95-convention Jaro (matches DuckDB/rapidfuzz): m matches within
-    window max(|a|,|b|)//2-1 (greedy, each char used once, left-to-right),
-    t = integer-half of the mismatches between the two matched-char
-    sequences; jaro = (m/|a| + m/|b| + (m-t)/m)/3. Winkler boost:
-    + l*p*(1-jaro) for common prefix l<=4, p=0.1, applied only when
-    jaro > 0.7 (Winkler's original boost threshold).
-
-    Strings are truncated to 64 chars (the pipeline scores canonical keys,
-    not raw text). The position scan loops over <=64 fixed positions with
-    all rows advanced in lockstep — no per-row Python.
+def _jw_core(MA: np.ndarray, MB: np.ndarray) -> np.ndarray:
+    """Jaro-Winkler over aligned (n, L) integer code matrices (0 = padding).
+    Works for uint32 code points (pandas path) and uint8 ASCII (arrow path).
     """
-    n = len(a)
-    if n == 0:
-        return np.zeros(0)
-    A = a.fillna("").to_numpy().astype(f"U{_JW_MAXLEN}")
-    B = b.fillna("").to_numpy().astype(f"U{_JW_MAXLEN}")
-    MA = A.view(np.uint32).reshape(n, _JW_MAXLEN)
-    MB = B.view(np.uint32).reshape(n, _JW_MAXLEN)
+    n, L = MA.shape
     la = (MA != 0).sum(axis=1).astype(np.int64)
     lb = (MB != 0).sum(axis=1).astype(np.int64)
 
-    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (n,)
-    jpos = np.arange(_JW_MAXLEN, dtype=np.int64)
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    jpos = np.arange(L, dtype=np.int64)
 
-    used_b = np.zeros((n, _JW_MAXLEN), dtype=bool)
-    match_j = np.full((n, _JW_MAXLEN), -1, dtype=np.int64)  # j matched to a-pos i
-    for i in range(_JW_MAXLEN):
-        ai = MA[:, i]  # (n,)
+    used_b = np.zeros((n, L), dtype=bool)
+    match_j = np.full((n, L), -1, dtype=np.int64)
+    for i in range(L):
+        ai = MA[:, i]
         active = (ai != 0) & (i < la)
         lo = i - win
         hi = i + win
@@ -213,7 +197,6 @@ def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
     matched_a = match_j >= 0
     m = matched_a.sum(axis=1).astype(np.int64)
 
-    # a-side matched chars in a-order; b-side matched chars in b-order
     a_key = np.where(matched_a, jpos[None, :], _BIG)
     a_ord = np.argsort(a_key, axis=1, kind="stable")
     a_seq = np.take_along_axis(MA, a_ord, axis=1)
@@ -238,6 +221,30 @@ def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
         jaro > _JW_BOOST_THRESHOLD, jaro + prefix * _JW_PREFIX_SCALE * (1.0 - jaro), jaro
     )
     return jw
+
+
+def jaro_winkler_matrix(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Vectorized Jaro-Winkler over a batch of string pairs.
+
+    strcmp95-convention Jaro (matches DuckDB/rapidfuzz): m matches within
+    window max(|a|,|b|)//2-1 (greedy, each char used once, left-to-right),
+    t = integer-half of the mismatches between the two matched-char
+    sequences; jaro = (m/|a| + m/|b| + (m-t)/m)/3. Winkler boost:
+    + l*p*(1-jaro) for common prefix l<=4, p=0.1, applied only when
+    jaro > 0.7 (Winkler's original boost threshold).
+
+    Strings are truncated to 64 chars (the pipeline scores canonical keys,
+    not raw text). The position scan loops over <=64 fixed positions with
+    all rows advanced in lockstep — no per-row Python.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0)
+    A = a.fillna("").to_numpy().astype(f"U{_JW_MAXLEN}")
+    B = b.fillna("").to_numpy().astype(f"U{_JW_MAXLEN}")
+    MA = A.view(np.uint32).reshape(n, _JW_MAXLEN)
+    MB = B.view(np.uint32).reshape(n, _JW_MAXLEN)
+    return _jw_core(MA, MB)
 
 
 @F.pandas_udf(DoubleType())

@@ -120,7 +120,10 @@ def simhash_neardup_pairs(
         docs.select(F.col(id_col).cast("string").alias("conv_id"), F.col(text_col).alias("doc_text"))
         .withColumn("sig", C.simhash256("doc_text"))
         .withColumn("sig_hex", C.sig_hex(F.col("sig")))
-        .withColumn("canon", F.substring(F.lower(F.col("doc_text")), 1, 48))
+        .withColumn(
+            "canon",
+            F.substring(F.regexp_replace(F.lower(F.col("doc_text")), "[^a-z0-9 ]", ""), 1, 48),
+        )
     )
     pairs, _ = blocking.candidate_pairs(sigs, n_bands=n_bands, max_block=max_block)
     scored = scoring.score_pairs(pairs, sigs)

@@ -54,9 +54,10 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
     if w == 0:
         return out
     mat = np.frombuffer(b"".join(p.ljust(w, b"\x00") for p in payloads), dtype=np.uint8).reshape(n, w)
+    valid = np.arange(w)[None, :] < lens[:, None]  # ignore padding bytes
+    nib = mat >> 4
     for k in range(_FEATURE_DIM):
-        bucket = (mat >> 4) == k  # nibble histogram
-        out[:, k] = bucket.sum(axis=1) / np.maximum(lens, 1)
+        out[:, k] = ((nib == k) & valid).sum(axis=1) / np.maximum(lens, 1)
     return out
 
 

@@ -17,46 +17,83 @@ conv_id is the right plan. The scoring UDF itself is a narrow map stage.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import columns as C
 
 SIG_BITS = 256
+SIG_BYTES = 32
 DEFAULT_MAX_DIST = 20
 DEFAULT_ALPHA = 0.75
+_CANON_LEN = 48
+
+_SCORE_SCHEMA = (
+    "conv_id_a string, conv_id_b string, hamming_dist long, jw double, score double"
+)
+
+
+def _score_batches(alpha: float):
+    """mapInArrow kernel: score whole record batches with zero per-row
+    Python — binary signature buffers become (n, 32) uint8 views, canon
+    ASCII strings become one padded matrix, and both kernels (SWAR-table
+    hamming + vectorized Jaro-Winkler) run on the full batch."""
+    from .. import arrow_kernels as ak
+    from .. import kernels
+    from ..columns import _jw_core
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            sa = ak.fixed_binary_matrix(batch.column("sig_a"), SIG_BYTES)
+            sb = ak.fixed_binary_matrix(batch.column("sig_b"), SIG_BYTES)
+            dist = kernels.hamming_bytes_matrix(
+                np.ascontiguousarray(sa), np.ascontiguousarray(sb)
+            )
+            ca = ak.ascii_padded_matrix(batch.column("canon_a"), _CANON_LEN)
+            cb = ak.ascii_padded_matrix(batch.column("canon_b"), _CANON_LEN)
+            jw = _jw_core(ca, cb)
+            score = alpha * (1.0 - dist / float(SIG_BITS)) + (1.0 - alpha) * jw
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("conv_id_a"),
+                    batch.column("conv_id_b"),
+                    pa.array(dist, type=pa.int64()),
+                    pa.array(jw, type=pa.float64()),
+                    pa.array(score, type=pa.float64()),
+                ],
+                names=["conv_id_a", "conv_id_b", "hamming_dist", "jw", "score"],
+            )
+
+    return run
 
 
 def score_pairs(pairs: DataFrame, signatures: DataFrame, alpha: float = DEFAULT_ALPHA) -> DataFrame:
     """pairs(conv_id_a, conv_id_b) × signatures → scored
-    edges(conv_id_a, conv_id_b, hamming_dist, jw, score)."""
+    edges(conv_id_a, conv_id_b, hamming_dist, jw, score).
+
+    Signature attachment is two equi-joins on conv_id; the scoring itself
+    is one narrow mapInArrow stage over the joined batches."""
     sigs = signatures.select("conv_id", "sig", "canon")
-    scored = (
-        pairs.join(
-            sigs.select(
-                F.col("conv_id").alias("conv_id_a"),
-                F.col("sig").alias("sig_a"),
-                F.col("canon").alias("canon_a"),
-            ),
-            "conv_id_a",
-        )
-        .join(
-            sigs.select(
-                F.col("conv_id").alias("conv_id_b"),
-                F.col("sig").alias("sig_b"),
-                F.col("canon").alias("canon_b"),
-            ),
-            "conv_id_b",
-        )
-        .withColumn("hamming_dist", C.hamming_bytes("sig_a", "sig_b"))
-        .withColumn("jw", C.jaro_winkler("canon_a", "canon_b"))
-        .withColumn(
-            "score",
-            F.lit(alpha) * (F.lit(1.0) - F.col("hamming_dist") / F.lit(float(SIG_BITS)))
-            + F.lit(1.0 - alpha) * F.col("jw"),
-        )
+    joined = pairs.join(
+        sigs.select(
+            F.col("conv_id").alias("conv_id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("canon").alias("canon_a"),
+        ),
+        "conv_id_a",
+    ).join(
+        sigs.select(
+            F.col("conv_id").alias("conv_id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("canon").alias("canon_b"),
+        ),
+        "conv_id_b",
     )
-    return scored.select("conv_id_a", "conv_id_b", "hamming_dist", "jw", "score")
+    return joined.mapInArrow(_score_batches(alpha), _SCORE_SCHEMA)
 
 
 def match_edges(

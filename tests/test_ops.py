@@ -1,0 +1,141 @@
+"""Tests for the training-data operators: dedup families, ANN search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark.ops import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    for i in range(20):
+        rows.append((i, base + f"variant number {i} " * 3))
+    # exact dups of doc 0
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1]))
+    # near-dup of doc 1 (one token changed out of ~65)
+    rows.append((102, rows[1][1].replace("quick", "swift", 1)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 3 and g["canonical_id"] == 0
+
+
+def test_minhash_pairs_finds_neardup(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_pairs(docs, k=16).collect()
+    }
+    # exact dups share all minhashes
+    assert pairs[(0, 100)] == 1.0
+    assert pairs[(100, 101)] == 1.0
+    # near-dup shares most
+    assert pairs.get((1, 102), 0) >= 0.5
+
+
+def test_ngram_jaccard_column(spark, docs):
+    df = spark.createDataFrame(
+        [("abcdef", "abcdef"), ("abcdef", "zzzzzz"), ("abcdefg", "abcdxfg")],
+        "a string, b string",
+    )
+    vals = [r["j"] for r in df.select(dedup.ngram_jaccard("a", "b").alias("j")).collect()]
+    assert vals[0] == 1.0
+    assert vals[1] == 0.0
+    assert 0.0 < vals[2] < 1.0
+
+
+def test_simhash_neardup_pairs(spark, docs):
+    out = dedup.simhash_neardup_pairs(docs, max_dist=30, n_bands=16)
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert ("0", "100") in found and ("100", "101") in found
+    assert ("1", "102") in found
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    # plant near-neighbors: vec i+100 ~ vec i for i<20
+    vecs[100:120] = vecs[:20] + 0.05 * rng.standard_normal((20, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, embeddings):
+    probes = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = ann.brute_force_topk(embeddings, probes, k=3).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rows in by_probe.items():
+        assert len(rows) == 3
+        top = min(rows, key=lambda r: r["rank"])
+        # the planted near-neighbor must be rank 1
+        assert top["vec_id"] == pid + 100
+        assert top["sim"] > 0.9
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    probes = embeddings.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann.brute_force_topk(embeddings, probes, k=1).collect()
+    }
+    approx = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann.lsh_topk(embeddings, probes, k=1, n_planes=6, dim=64).collect()
+    }
+    # planted rank-1 neighbors are ~identical vectors → land in the same
+    # sign-projection bucket with high probability; require >=70% recall@1
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat, twice!",), ("x",)], "text string"
+    )
+    row = df.select(
+        text.token_count(F.col("text")).alias("tc"),
+        text.stopword_hits(F.col("text")).alias("sh"),
+        text.punct_ratio(F.col("text")).alias("pr"),
+        text.quality_score(F.col("text")).alias("q"),
+        text.doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert row[0]["tc"] == 7
+    assert row[0]["sh"] == 2  # 'the' x2 ('on'/'cat' not in list)
+    assert 0 < row[0]["pr"] < 0.2
+    assert 0 <= row[0]["q"] <= 1 and 0 <= row[1]["q"] <= 1
+    assert len(row[0]["fp"]) == 16
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3  # nibble histogram sums to 1
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_decode_is_honestly_stubbed(spark):
+    media = multimodal.synthetic_media(spark, n=2)
+    with pytest.raises(Exception) as excinfo:
+        multimodal.extract_features(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(excinfo.value) or "image decode" in str(excinfo.value)
