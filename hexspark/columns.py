@@ -110,33 +110,20 @@ def within_dist_hex(a: pd.Series, b: pd.Series, max_dist: pd.Series) -> pd.Serie
 # SimHash fingerprint (pipeline stage B3)
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = r"[a-z0-9]+"
-_MAX_TOKEN_CHARS = 16
+def simhash256_series(text: pd.Series) -> np.ndarray:
+    """(n, 32) uint8 SimHash signatures of a string series. The series is
+    converted to one Arrow string array so tokenization + hashing run over
+    the raw utf8 byte buffer (kernels.hash_tokens_utf8) — no per-row or
+    per-token Python anywhere."""
+    import pyarrow as pa
 
+    from . import arrow_kernels as ak
 
-def _tokenize(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Lowercase alnum tokenization → flat 64-bit token hashes + per-doc
-    start boundaries (for np.add.reduceat segment sums).
-
-    Empty docs contribute one sentinel empty token so reduceat boundaries
-    stay strictly increasing-valid.
-    """
-    toks = text.fillna("").str.lower().str.findall(_TOKEN_RE)
-    counts = toks.str.len().to_numpy(dtype=np.int64)
-    tv = toks.to_numpy()
-    for i in np.flatnonzero(counts == 0):  # loop over empty docs only (rare)
-        tv[i] = [""]
-    counts = np.maximum(counts, 1)
-    flat = np.concatenate(tv)
-    # unicode→fixed-width code-point matrix (C-level, no per-token Python)
-    u = flat.astype(f"U{_MAX_TOKEN_CHARS}")
-    mat = u.view(np.uint32).reshape(len(u), _MAX_TOKEN_CHARS)
-    lengths = (mat != 0).sum(axis=1)
-    h64 = kernels.hash_token_matrix(mat, lengths)
-    boundaries = np.zeros(len(text), dtype=np.int64)
-    if len(counts) > 1:
-        np.cumsum(counts[:-1], out=boundaries[1:])
-    return h64, boundaries
+    arr = pa.array(text.fillna(""), type=pa.string())
+    offs, data = ak._offsets_and_data(arr)
+    # normalize slice base so offsets are relative to data[offs[0]:]
+    base = offs[0]
+    return kernels.simhash256_from_utf8(data[base : offs[-1]], offs - base)
 
 
 @F.pandas_udf(BinaryType())
@@ -146,8 +133,7 @@ def simhash256(text: pd.Series) -> pd.Series:
     chars = 256 bits)."""
     if len(text) == 0:
         return pd.Series([], dtype=object)
-    h64, boundaries = _tokenize(text)
-    sigs = kernels.simhash256_from_token_hashes(h64, boundaries)  # (n, 32)
+    sigs = simhash256_series(text)
     return pd.Series([r.tobytes() for r in sigs])
 
 
@@ -164,8 +150,9 @@ _BIG = np.int64(1 << 30)
 
 _CTZ_DEBRUIJN = np.uint64(0x03F79D71B4CB0A89)
 _CTZ_TABLE = np.zeros(64, dtype=np.int64)
-for _k in range(64):
-    _CTZ_TABLE[int(((np.uint64(1) << np.uint64(_k)) * _CTZ_DEBRUIJN) >> np.uint64(58))] = _k
+with np.errstate(over="ignore"):
+    for _k in range(64):
+        _CTZ_TABLE[int(((np.uint64(1) << np.uint64(_k)) * _CTZ_DEBRUIJN) >> np.uint64(58))] = _k
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:

@@ -226,6 +226,114 @@ def hash_token_matrix(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return splitmix64(acc)
 
 
+_POLY_P = np.uint64(1099511628211)  # FNV prime as the polynomial base
+_MAX_TOKEN_BYTES = 16
+with np.errstate(over="ignore"):
+    _P_POW = np.ones(_MAX_TOKEN_BYTES, dtype=np.uint64)
+    for _i in range(1, _MAX_TOKEN_BYTES):
+        _P_POW[_i] = _P_POW[_i - 1] * _POLY_P
+
+
+def hash_tokens_utf8(data: np.ndarray, doc_offsets: np.ndarray):
+    """Byte-level vectorized tokenizer + hasher.
+
+    data        : (N,) uint8 — all documents' utf8 bytes, concatenated
+    doc_offsets : (D+1,) int64 — doc d spans data[doc_offsets[d]:doc_offsets[d+1]]
+
+    Tokens are maximal [a-z0-9]+ runs after ASCII lowercasing (non-ASCII
+    bytes act as separators). Each token's first 16 bytes are hashed with a
+    polynomial rolling hash (same construction as hash_token_matrix),
+    length-mixed, splitmix64-finalized.
+
+    Returns (token_h64 (T,) uint64, token_doc_bounds (D+1,) int64) where
+    tokens of doc d are token_h64[bounds[d]:bounds[d+1]] (possibly empty).
+    Everything is O(N) numpy; no per-token Python.
+    """
+    N = len(data)
+    D = len(doc_offsets) - 1
+    if N == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(D + 1, dtype=np.int64)
+    lower = np.where((data >= 65) & (data <= 90), data + 32, data)
+    isal = ((lower >= 97) & (lower <= 122)) | ((lower >= 48) & (lower <= 57))
+    # force token breaks at document boundaries
+    prev = np.empty_like(isal)
+    prev[0] = False
+    prev[1:] = isal[:-1]
+    inner = doc_offsets[1:-1] if D > 1 else np.zeros(0, dtype=np.int64)
+    prev[inner[inner < N]] = False
+    start = isal & ~prev
+    tok_start_pos = np.flatnonzero(start)
+    T = len(tok_start_pos)
+    if T == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(D + 1, dtype=np.int64)
+    nxt = np.empty_like(isal)
+    nxt[-1] = False
+    nxt[:-1] = isal[1:]
+    nxt[inner[inner > 0] - 1] = False
+    tok_end_pos = np.flatnonzero(isal & ~nxt) + 1
+    lens = tok_end_pos - tok_start_pos
+
+    # polynomial hash of the first 16 bytes of each token: a fixed 16-step
+    # horner loop with one 1-D gather per step (a 2-D (T,16) gather is 10x
+    # more memory traffic; np.add.reduceat's inner loop is scalar) —
+    # bounded work per token, fully SIMD
+    capped_len = np.minimum(lens, _MAX_TOKEN_BYTES)
+    h = np.zeros(T, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(_MAX_TOKEN_BYTES):  # horner: acc = acc*P + c
+            idx = np.minimum(tok_start_pos + j, N - 1)
+            col = lower[idx].astype(np.uint64)
+            upd = h * _POLY_P + col
+            h = np.where(j < capped_len, upd, h)
+        h ^= lens.astype(np.uint64) * _GOLDEN
+    h = splitmix64(h)
+
+    # token count per doc → bounds
+    doc_of_tok = np.searchsorted(doc_offsets[1:], tok_start_pos, side="right")
+    counts = np.bincount(doc_of_tok, minlength=D)
+    bounds = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    return h, bounds
+
+
+def simhash256_from_utf8(data: np.ndarray, doc_offsets: np.ndarray) -> np.ndarray:
+    """256-bit SimHash per document from raw concatenated utf8 bytes.
+    Returns (D, 32) uint8 signatures. Docs with no tokens get the all-zero
+    signature."""
+    h, bounds = hash_tokens_utf8(data, doc_offsets)
+    D = len(doc_offsets) - 1
+    T = len(h)
+    lanes = np.empty((T, 4), dtype=np.uint64)
+    for k in range(4):
+        lanes[:, k] = splitmix64(h + np.uint64(k + 1))
+    # Per-doc bit sums via BLOCK-ALIGNED layout: each doc's tokens are
+    # scattered to a 128-token-aligned region, so fixed-size block sums
+    # (a SIMD reshape-reduce — unlike np.add.reduceat, whose inner loop is
+    # scalar, or long cumsum chains, which are serial) never straddle
+    # documents; per-doc sums are then tiny cumsum-diffs over block
+    # partials. All-zero padding rows contribute nothing.
+    BLK = 128
+    ntok = np.diff(bounds)  # (D,)
+    nblk = (ntok + BLK - 1) // BLK
+    blk_start = np.zeros(D, dtype=np.int64)
+    np.cumsum(nblk[:-1], out=blk_start[1:])
+    TP = int(nblk.sum()) * BLK
+    if TP == 0:
+        return np.zeros((D, 32), dtype=np.uint8)
+    padded = np.zeros((TP, 4), dtype=np.uint64)
+    doc_of_tok = np.repeat(np.arange(D), ntok)
+    dest = blk_start[doc_of_tok] * BLK + (np.arange(T) - bounds[doc_of_tok])
+    padded[dest] = lanes
+
+    bits = np.unpackbits(padded.view(np.uint8).ravel()).reshape(TP, 256)
+    blk_sums = bits.reshape(TP // BLK, BLK, 256).sum(axis=1, dtype=np.uint16)
+    csum = np.zeros((TP // BLK + 1, 256), dtype=np.int32)
+    np.cumsum(blk_sums, axis=0, dtype=np.int32, out=csum[1:])
+    sums = csum[blk_start + nblk] - csum[blk_start]  # (D, 256)
+    sig_bits = (2 * sums > ntok[:, None]) & (ntok[:, None] > 0)
+    return np.packbits(sig_bits.astype(np.uint8), axis=1)
+
+
 def simhash256_from_token_hashes(
     token_h64: np.ndarray, doc_boundaries: np.ndarray
 ) -> np.ndarray:
