@@ -70,7 +70,7 @@ def main() -> None:
         pairs, _ = blocking.candidate_pairs(sigs)
         pairs = pairs.persist()
         n_pairs = pairs.count()
-        edges = scoring.match_edges(scoring.score_pairs(pairs, sigs), max_dist=40).persist()
+        edges = scoring.score_and_match(pairs, sigs, max_dist=40).persist()
         n_edges = edges.count()
         cc, rounds = clustering.connected_components(edges)
         clusters = clustering.with_singletons(cc, sigs.select("conv_id"))
@@ -89,40 +89,41 @@ def main() -> None:
     # bucket self-join yields ~n^2/(2*n_buckets) pairs; the explicit
     # repartition spreads the scored pairs across all cores regardless of
     # how few join keys there are.
-    pairs_target = 2_000_000
+    pairs_target = 8_000_000
     n_buckets = max(round(n_sigs * n_sigs / 2 / pairs_target), 1)
-    s = sigs.select("conv_id", "sig", "canon")
-    a = s.select(
-        F.col("conv_id").alias("ca"), F.col("sig").alias("sig_a"), F.col("canon").alias("canon_a"),
-        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
-    )
-    b = s.select(
-        F.col("conv_id").alias("cb"), F.col("sig").alias("sig_b"), F.col("canon").alias("canon_b"),
-        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
-    )
-    from hexspark import columns as C
-    from hexspark.pipeline.scoring import _score_batches
+    from hexspark.pipeline.scoring import _JW_SCHEMA, _jw_batches, hamming_jvm, sig_chunks
 
+    a = sigs.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("canon").alias("canon_a"),
+        *sig_chunks("a"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
+    )
+    b = sigs.select(
+        F.col("conv_id").alias("conv_id_b"), F.col("canon").alias("canon_b"),
+        *sig_chunks("b"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
+    )
     bulk = (
         a.join(b, "bk")
-        .where(F.col("ca") < F.col("cb"))
-        .select(
-            F.col("ca").alias("conv_id_a"), F.col("cb").alias("conv_id_b"),
-            "sig_a", "sig_b", "canon_a", "canon_b",
-        )
+        .where(F.col("conv_id_a") < F.col("conv_id_b"))
+        .drop("bk")
         .repartition(cpus * 2)
         .persist()
     )
     total_bulk = bulk.count()  # materialize pairs so kernels time only scoring
     n_h = timed(
         "scoring_hamming",
-        lambda: bulk.where(C.hamming_bytes("sig_a", "sig_b") <= 40).count(),
+        lambda: bulk.withColumn("hamming_dist", hamming_jvm())
+        .where(F.col("hamming_dist") <= 40)
+        .count(),
     )
-    score_schema = "conv_id_a string, conv_id_b string, hamming_dist long, jw double, score double"
     n_hjw = timed(
         "scoring_hybrid",
-        lambda: bulk.mapInArrow(_score_batches(0.75), score_schema)
-        .where((F.col("hamming_dist") <= 40) | (F.col("jw") > 0.9))
+        lambda: bulk.withColumn("hamming_dist", hamming_jvm())
+        .where(F.col("hamming_dist") <= 60)
+        .select("conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b")
+        .mapInArrow(_jw_batches(0.75), _JW_SCHEMA)
+        .where(F.col("score") >= 0.5)
         .count(),
     )
     bulk.unpersist()

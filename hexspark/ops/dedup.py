@@ -126,8 +126,7 @@ def simhash_neardup_pairs(
         )
     )
     pairs, _ = blocking.candidate_pairs(sigs, n_bands=n_bands, max_block=max_block)
-    scored = scoring.score_pairs(pairs, sigs)
-    return scoring.match_edges(scored, max_dist=max_dist).select(
+    return scoring.score_and_match(pairs, sigs, max_dist=max_dist).select(
         F.col("conv_id_a").alias("id_a"),
         F.col("conv_id_b").alias("id_b"),
         "hamming_dist",

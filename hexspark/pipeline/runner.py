@@ -120,8 +120,9 @@ class Runner:
             p = pairs
             if cfg.pair_partitions:
                 p = p.repartition(cfg.pair_partitions)
-            scored = scoring.score_pairs(p, sigs, alpha=cfg.alpha)
-            return scoring.match_edges(scored, max_dist=cfg.max_dist, min_score=cfg.min_score)
+            return scoring.score_and_match(
+                p, sigs, max_dist=cfg.max_dist, alpha=cfg.alpha, min_score=cfg.min_score
+            )
 
         edges = self._run_stage(manifest, result, "edges", build_edges)
 

@@ -71,29 +71,114 @@ def _score_batches(alpha: float):
     return run
 
 
+N_CHUNKS = 8  # 8 x 32-bit hex chunks of the 256-bit signature
+
+
+def sig_chunks(side: str):
+    """Column list: the 256-bit signature as 8 longs derived from sig_hex —
+    computed map-side before the join shuffle, so the pair stream carries
+    integers the JVM can XOR/popcount inside whole-stage codegen."""
+    return [
+        F.conv(F.substring("sig_hex", i * 8 + 1, 8), 16, 10)
+        .cast("long")
+        .alias(f"c{i}_{side}")
+        for i in range(N_CHUNKS)
+    ]
+
+
+def hamming_jvm(side_a: str = "a", side_b: str = "b"):
+    """Column: hamming distance as Σ bit_count(ca_i ^ cb_i) — pure Catalyst
+    (whole-stage codegen, no Python boundary). This is the 100TB-scale
+    realization of the reference's A2 kernel: the XOR+popcount runs where
+    the data is, and the reference's early-exit optimization (cc:62-64)
+    becomes a codegen-level filter that never ships a row to Python."""
+    expr = None
+    for i in range(N_CHUNKS):
+        term = F.bit_count(
+            F.col(f"c{i}_{side_a}").bitwiseXOR(F.col(f"c{i}_{side_b}"))
+        )
+        expr = term if expr is None else expr + term
+    return expr.cast("long")
+
+
+def _attach_signatures(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    sa = signatures.select(
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("canon").alias("canon_a"),
+        *sig_chunks("a"),
+    )
+    sb = signatures.select(
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("canon").alias("canon_b"),
+        *sig_chunks("b"),
+    )
+    return pairs.join(sa, "conv_id_a").join(sb, "conv_id_b")
+
+
+_JW_SCHEMA = "conv_id_a string, conv_id_b string, hamming_dist long, jw double, score double"
+
+
+def _jw_batches(alpha: float):
+    """mapInArrow kernel for the (already hamming-gated) survivor stream:
+    computes Jaro-Winkler on the canon keys and the hybrid score."""
+    from .. import arrow_kernels as ak
+    from ..columns import _jw_core
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ca = ak.ascii_padded_matrix(batch.column("canon_a"), _CANON_LEN)
+            cb = ak.ascii_padded_matrix(batch.column("canon_b"), _CANON_LEN)
+            jw = _jw_core(ca, cb)
+            dist = batch.column("hamming_dist").to_numpy(zero_copy_only=False)
+            score = alpha * (1.0 - dist / float(SIG_BITS)) + (1.0 - alpha) * jw
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("conv_id_a"),
+                    batch.column("conv_id_b"),
+                    batch.column("hamming_dist"),
+                    pa.array(jw, type=pa.float64()),
+                    pa.array(score, type=pa.float64()),
+                ],
+                names=["conv_id_a", "conv_id_b", "hamming_dist", "jw", "score"],
+            )
+
+    return run
+
+
 def score_pairs(pairs: DataFrame, signatures: DataFrame, alpha: float = DEFAULT_ALPHA) -> DataFrame:
     """pairs(conv_id_a, conv_id_b) × signatures → scored
-    edges(conv_id_a, conv_id_b, hamming_dist, jw, score).
+    edges(conv_id_a, conv_id_b, hamming_dist, jw, score) for ALL pairs.
 
-    Signature attachment is two equi-joins on conv_id; the scoring itself
-    is one narrow mapInArrow stage over the joined batches."""
-    sigs = signatures.select("conv_id", "sig", "canon")
-    joined = pairs.join(
-        sigs.select(
-            F.col("conv_id").alias("conv_id_a"),
-            F.col("sig").alias("sig_a"),
-            F.col("canon").alias("canon_a"),
-        ),
-        "conv_id_a",
-    ).join(
-        sigs.select(
-            F.col("conv_id").alias("conv_id_b"),
-            F.col("sig").alias("sig_b"),
-            F.col("canon").alias("canon_b"),
-        ),
-        "conv_id_b",
+    Hamming runs JVM-side (hamming_jvm); Jaro-Winkler + hybrid score run in
+    one mapInArrow stage. Prefer score_and_match when a distance gate
+    applies — it filters in codegen BEFORE paying the Python boundary."""
+    joined = _attach_signatures(pairs, signatures).withColumn(
+        "hamming_dist", hamming_jvm()
     )
-    return joined.mapInArrow(_score_batches(alpha), _SCORE_SCHEMA)
+    return joined.select(
+        "conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b"
+    ).mapInArrow(_jw_batches(alpha), _JW_SCHEMA)
+
+
+def score_and_match(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    max_dist: int = DEFAULT_MAX_DIST,
+    alpha: float = DEFAULT_ALPHA,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """The fused B6+B7 fast path: JVM hamming + codegen filter
+    (dist <= max_dist, A3 semantics cc:62-64) prune the candidate stream
+    before anything crosses to Python; Jaro-Winkler scores only the
+    survivors."""
+    joined = _attach_signatures(pairs, signatures).withColumn(
+        "hamming_dist", hamming_jvm()
+    )
+    gated = joined.where(F.col("hamming_dist") <= F.lit(max_dist)).select(
+        "conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b"
+    )
+    scored = gated.mapInArrow(_jw_batches(alpha), _JW_SCHEMA)
+    return scored.where(F.col("score") >= F.lit(min_score))
 
 
 def match_edges(

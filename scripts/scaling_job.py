@@ -38,7 +38,7 @@ def main() -> None:
     from hexspark import fixtures
     from hexspark.pipeline import assemble, blocking, clustering, scoring
     from hexspark.pipeline import simhash as simhash_mod
-    from hexspark.pipeline.scoring import _SCORE_SCHEMA, _score_batches
+    from hexspark.pipeline.scoring import _JW_SCHEMA, _jw_batches, hamming_jvm, sig_chunks
 
     t: dict[str, float] = {}
 
@@ -63,7 +63,7 @@ def main() -> None:
     pairs = pairs.persist()
     n_pairs = timed("blocking", pairs.count)
 
-    edges = scoring.match_edges(scoring.score_pairs(pairs, sigs), max_dist=40).persist()
+    edges = scoring.score_and_match(pairs, sigs, max_dist=40).persist()
     n_edges = timed("scoring", edges.count)
 
     def run_cc():
@@ -76,15 +76,14 @@ def main() -> None:
     # bulk pair-scoring throughput at a fixed pair count (input-identical
     # across parallelism levels; only partitioning differs)
     n_buckets = max(round(n_convs * n_convs / 2 / args.pairs_target), 1)
-    s = sigs.select("conv_id", "sig", "canon")
-    a = s.select(
-        F.col("conv_id").alias("conv_id_a"), F.col("sig").alias("sig_a"),
-        F.col("canon").alias("canon_a"),
+    a = sigs.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("canon").alias("canon_a"),
+        *sig_chunks("a"),
         F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
     )
-    b = s.select(
-        F.col("conv_id").alias("conv_id_b"), F.col("sig").alias("sig_b"),
-        F.col("canon").alias("canon_b"),
+    b = sigs.select(
+        F.col("conv_id").alias("conv_id_b"), F.col("canon").alias("canon_b"),
+        *sig_chunks("b"),
         F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
     )
     bulk = (
@@ -97,8 +96,11 @@ def main() -> None:
     n_bulk = bulk.count()
     n_match = timed(
         "bulk_scoring",
-        lambda: bulk.mapInArrow(_score_batches(0.75), _SCORE_SCHEMA)
-        .where(F.col("hamming_dist") <= 40)
+        lambda: bulk.withColumn("hamming_dist", hamming_jvm())
+        .where(F.col("hamming_dist") <= 60)
+        .select("conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b")
+        .mapInArrow(_jw_batches(0.75), _JW_SCHEMA)
+        .where(F.col("score") >= 0.5)
         .count(),
     )
 
