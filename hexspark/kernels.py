@@ -311,27 +311,44 @@ def simhash256_from_utf8(data: np.ndarray, doc_offsets: np.ndarray) -> np.ndarra
     # (a SIMD reshape-reduce — unlike np.add.reduceat, whose inner loop is
     # scalar, or long cumsum chains, which are serial) never straddle
     # documents; per-doc sums are then tiny cumsum-diffs over block
-    # partials. All-zero padding rows contribute nothing.
+    # partials. All-zero padding rows contribute nothing. Processing is
+    # chunked to ~256k padded tokens so the unpacked bit matrix stays
+    # <= 64MB per worker regardless of batch size.
     BLK = 128
+    CHUNK_PADDED = 1 << 18
     ntok = np.diff(bounds)  # (D,)
-    nblk = (ntok + BLK - 1) // BLK
-    blk_start = np.zeros(D, dtype=np.int64)
-    np.cumsum(nblk[:-1], out=blk_start[1:])
-    TP = int(nblk.sum()) * BLK
-    if TP == 0:
-        return np.zeros((D, 32), dtype=np.uint8)
-    padded = np.zeros((TP, 4), dtype=np.uint64)
-    doc_of_tok = np.repeat(np.arange(D), ntok)
-    dest = blk_start[doc_of_tok] * BLK + (np.arange(T) - bounds[doc_of_tok])
-    padded[dest] = lanes
+    nblk = np.maximum((ntok + BLK - 1) // BLK, 0)
+    out = np.zeros((D, 32), dtype=np.uint8)
+    d0 = 0
+    while d0 < D:
+        d1 = d0
+        padded_tokens = 0
+        while d1 < D and (padded_tokens + int(nblk[d1]) * BLK <= CHUNK_PADDED or d1 == d0):
+            padded_tokens += int(nblk[d1]) * BLK
+            d1 += 1
+        cn = ntok[d0:d1]
+        cb = nblk[d0:d1]
+        blk_start = np.zeros(d1 - d0, dtype=np.int64)
+        np.cumsum(cb[:-1], out=blk_start[1:])
+        TP = int(cb.sum()) * BLK
+        if TP == 0:
+            d0 = d1
+            continue
+        t0, t1 = bounds[d0], bounds[d1]
+        padded = np.zeros((TP, 4), dtype=np.uint64)
+        doc_of_tok = np.repeat(np.arange(d1 - d0), cn)
+        dest = blk_start[doc_of_tok] * BLK + (np.arange(t0, t1) - bounds[d0:d1][doc_of_tok])
+        padded[dest] = lanes[t0:t1]
 
-    bits = np.unpackbits(padded.view(np.uint8).ravel()).reshape(TP, 256)
-    blk_sums = bits.reshape(TP // BLK, BLK, 256).sum(axis=1, dtype=np.uint16)
-    csum = np.zeros((TP // BLK + 1, 256), dtype=np.int32)
-    np.cumsum(blk_sums, axis=0, dtype=np.int32, out=csum[1:])
-    sums = csum[blk_start + nblk] - csum[blk_start]  # (D, 256)
-    sig_bits = (2 * sums > ntok[:, None]) & (ntok[:, None] > 0)
-    return np.packbits(sig_bits.astype(np.uint8), axis=1)
+        bits = np.unpackbits(padded.view(np.uint8).ravel()).reshape(TP, 256)
+        blk_sums = bits.reshape(TP // BLK, BLK, 256).sum(axis=1, dtype=np.uint16)
+        csum = np.zeros((TP // BLK + 1, 256), dtype=np.int32)
+        np.cumsum(blk_sums, axis=0, dtype=np.int32, out=csum[1:])
+        sums = csum[blk_start + cb] - csum[blk_start]  # (d1-d0, 256)
+        sig_bits = (2 * sums > cn[:, None]) & (cn[:, None] > 0)
+        out[d0:d1] = np.packbits(sig_bits.astype(np.uint8), axis=1)
+        d0 = d1
+    return out
 
 
 def simhash256_from_token_hashes(

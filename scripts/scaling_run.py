@@ -52,8 +52,8 @@ def run_level(cpus: int, zpath: str, n_base: int, pairs_target: int) -> dict:
 
 
 def main() -> None:
-    n_base = int(os.environ.get("SCALING_N_BASE", "2000"))
-    pairs_target = int(os.environ.get("SCALING_PAIRS", "8000000"))
+    n_base = int(os.environ.get("SCALING_N_BASE", "12000"))
+    pairs_target = int(os.environ.get("SCALING_PAIRS", "150000000"))
     zpath = build_zip()
     r8 = run_level(8, zpath, n_base, pairs_target)
     r32 = run_level(32, zpath, n_base, pairs_target)
