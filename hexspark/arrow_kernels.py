@@ -42,6 +42,38 @@ def fixed_binary_matrix(arr: pa.Array, width: int) -> np.ndarray:
     return data[start : start + n * width].reshape(n, width)
 
 
+def string_array_from_matrix(mat: np.ndarray, lens: np.ndarray) -> pa.Array:
+    """Build a pa.utf8 array from a zero-padded (n, L) uint8 matrix and
+    per-row lengths — one boolean-mask gather, no per-row Python."""
+    n, L = mat.shape
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    mask = np.arange(L)[None, :] < lens[:, None]
+    payload = mat[mask]  # row-major order ⇒ concatenated rows
+    return pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(payload.tobytes())]
+    )
+
+
+def fixed_string_array(mat: np.ndarray) -> pa.Array:
+    """pa.utf8 array from an (n, L) uint8 matrix where every row is exactly
+    L bytes (e.g. hex signatures)."""
+    n, L = mat.shape
+    offs = (np.arange(n + 1, dtype=np.int32) * L).tobytes()
+    return pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(mat).tobytes())]
+    )
+
+
+def fixed_binary_array(mat: np.ndarray) -> pa.Array:
+    """pa.binary array from an (n, w) uint8 matrix (one value per row)."""
+    n, w = mat.shape
+    offs = (np.arange(n + 1, dtype=np.int32) * w).tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(mat).tobytes())]
+    )
+
+
 def ascii_padded_matrix(arr: pa.Array, max_len: int) -> np.ndarray:
     """(n, max_len) uint8 matrix of an ASCII string column, zero-padded /
     truncated to max_len. One vectorized gather — no per-row Python."""

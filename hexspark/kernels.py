@@ -340,8 +340,7 @@ def simhash256_from_utf8(data: np.ndarray, doc_offsets: np.ndarray) -> np.ndarra
         dest = blk_start[doc_of_tok] * BLK + (np.arange(t0, t1) - bounds[d0:d1][doc_of_tok])
         padded[dest] = lanes[t0:t1]
 
-        bits = np.unpackbits(padded.view(np.uint8).ravel()).reshape(TP, 256)
-        blk_sums = bits.reshape(TP // BLK, BLK, 256).sum(axis=1, dtype=np.uint16)
+        blk_sums = _bit_sums_128(padded)  # (TP//BLK, 256) uint8, old bit order
         csum = np.zeros((TP // BLK + 1, 256), dtype=np.int32)
         np.cumsum(blk_sums, axis=0, dtype=np.int32, out=csum[1:])
         sums = csum[blk_start + cb] - csum[blk_start]  # (d1-d0, 256)
@@ -349,6 +348,105 @@ def simhash256_from_utf8(data: np.ndarray, doc_offsets: np.ndarray) -> np.ndarra
         out[d0:d1] = np.packbits(sig_bits.astype(np.uint8), axis=1)
         d0 = d1
     return out
+
+
+# Permutation from (lane l, lane-bit p) flat index 64l+p to the historical
+# unpackbits bit order g = 64l + 8*(p//8) + (7 - p%8) (little-endian bytes,
+# MSB-first bits), so signatures stay byte-identical across kernel versions.
+_L = np.repeat(np.arange(4), 64)
+_P = np.tile(np.arange(64), 4)
+_BITORDER = np.empty(256, dtype=np.int64)
+_BITORDER[64 * _L + 8 * (_P // 8) + 7 - (_P % 8)] = 64 * _L + _P
+_M_EVERY4 = np.uint64(0x1111111111111111)
+_M_BYTELO = np.uint64(0x0F0F0F0F0F0F0F0F)
+
+
+def _bit_sums_128(padded: np.ndarray) -> np.ndarray:
+    """Per-bit sums over 128-token blocks of (TP, 4)-uint64 SimHash lanes,
+    WITHOUT unpacking bits to bytes (the naive route writes 256 bytes per
+    token; this one stays packed until the final 2-byte-per-bit block
+    counters — ~4x less memory traffic, the difference between scaling and
+    DRAM-saturating at 32 concurrent workers).
+
+    Carry-save scheme: bits k, k+4, ... of each lane are 4-bit counter
+    fields (`& 0x1111...`); summing 8 tokens keeps fields ≤ 8. Widening the
+    fields to bytes (even/odd nibbles) lets 16 such partials sum to ≤ 128
+    per byte — one 128-token block. Returns (TP//128, 256) uint8 in the
+    historical bit order (see _BITORDER).
+    """
+    TP = padded.shape[0]
+    nsb = TP // 128
+    x = padded.reshape(TP // 8, 8, 4)
+    # partial[b, lane, k]: 16 4-bit fields, field j counts lane-bit 4j+k
+    partial = np.empty((TP // 8, 4, 4), dtype=np.uint64)
+    for k in range(4):
+        partial[:, :, k] = (x >> np.uint64(k) & _M_EVERY4).sum(axis=1)
+    even = (partial & _M_BYTELO).reshape(nsb, 16, 4, 4).sum(axis=1)
+    odd = (partial >> np.uint64(4) & _M_BYTELO).reshape(nsb, 16, 4, 4).sum(axis=1)
+    # byte m of even[.., lane, k] counts lane-bit 8m+k; of odd: 8m+4+k
+    e8 = even.view(np.uint8).reshape(nsb, 4, 4, 8)
+    o8 = odd.view(np.uint8).reshape(nsb, 4, 4, 8)
+    counts = np.empty((nsb, 4, 64), dtype=np.uint8)  # [block, lane, p]
+    m8 = 8 * np.arange(8)
+    for k in range(4):
+        counts[:, :, m8 + k] = e8[:, :, k, :]
+        counts[:, :, m8 + 4 + k] = o8[:, :, k, :]
+    return counts.reshape(nsb, 256)[:, _BITORDER]
+
+
+_HEXCHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def hex_chars_matrix(sig: np.ndarray) -> np.ndarray:
+    """(n, w) uint8 bytes → (n, 2w) uint8 lowercase hex chars. The batch
+    analogue of the reference's canonical hex encoding (cc:52-53 decodes
+    case-insensitively; we standardize on lowercase output)."""
+    n, w = sig.shape
+    out = np.empty((n, 2 * w), dtype=np.uint8)
+    out[:, 0::2] = _HEXCHARS[sig >> 4]
+    out[:, 1::2] = _HEXCHARS[sig & 0x0F]
+    return out
+
+
+def utf8_char_counts(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-row UTF-8 character counts (≡ Spark's length()) from concatenated
+    utf8 bytes: count non-continuation bytes via one prefix sum."""
+    cs = np.zeros(len(data) + 1, dtype=np.int64)
+    if len(data):
+        np.cumsum((data & 0xC0) != 0x80, out=cs[1:])
+    return cs[offs[1:]] - cs[offs[:-1]]
+
+
+def canon_keys_utf8(
+    data: np.ndarray, offs: np.ndarray, max_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical-key extraction, byte-level vectorized — semantics identical
+    to ``substring(regexp_replace(lower(doc), '[^a-z0-9 ]', ''), 1, max_len)``
+    for ASCII text (non-ASCII bytes are ≥ 0x80 and thus dropped by the
+    byte-level filter exactly as the char-level regex drops the chars).
+
+    Returns ((D, max_len) uint8 matrix zero-padded, lengths (D,) int64).
+    One pass over the byte buffer; no per-row Python.
+    """
+    D = len(offs) - 1
+    if len(data) == 0:
+        return np.zeros((D, max_len), dtype=np.uint8), np.zeros(D, dtype=np.int64)
+    lower = np.where((data >= 65) & (data <= 90), data + 32, data)
+    keep = (
+        ((lower >= 97) & (lower <= 122))
+        | ((lower >= 48) & (lower <= 57))
+        | (lower == 32)
+    )
+    ks = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(keep, out=ks[1:])
+    pos = np.flatnonzero(keep)
+    doc_of = np.searchsorted(offs[1:], pos, side="right")
+    rank = ks[pos] - ks[offs[:-1]][doc_of]
+    sel = rank < max_len
+    out = np.zeros((D, max_len), dtype=np.uint8)
+    out[doc_of[sel], rank[sel]] = lower[pos[sel]]
+    lens = np.minimum(ks[offs[1:]] - ks[offs[:-1]], max_len)
+    return out, lens
 
 
 def simhash256_from_token_hashes(

@@ -11,6 +11,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+# glibc malloc tuning for the Python workers (they inherit the env of the
+# JVM, which inherits ours when we launch the gateway). numpy frees/
+# reallocates MB-scale temporaries constantly; with the default
+# MMAP_THRESHOLD every one is its own mmap/munmap, and at 32 concurrent
+# workers the page-fault + zone-lock traffic in the kernel throttles the
+# whole machine (measured 3.4x worker slowdown). Keeping big blocks in the
+# sbrk arena makes worker allocation reuse local and lock-free.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}
+
+
+def apply_malloc_tuning() -> None:
+    """Set glibc malloc env vars; must run before the JVM gateway starts so
+    Python workers inherit them. On a real cluster the same settings go in
+    spark.executorEnv.* / spark-env.sh."""
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+
 
 def get_spark(
     app_name: str = "hexspark",
@@ -18,6 +38,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    apply_malloc_tuning()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -40,6 +61,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    for k, v in _MALLOC_ENV.items():
+        # cluster-mode path: ship the malloc tuning to executors explicitly
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
