@@ -179,6 +179,48 @@ def q_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wide_block_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE blocking+scoring plan shape (blocking.candidate_pairs_wide →
+    scoring.score_wide) in SQL-expressible form: band rows carry the
+    fingerprint chunks through the self-join, pairs dedup with any_value,
+    and the hamming distance is Σ bit_count(xor(chunk_a, chunk_b)) in pure
+    codegen — no re-attach joins. Bands here are 8-char text-prefix slices
+    (locality-sensitive for the planted near-dups); the fingerprint is the
+    md5 digest as 4x 32-bit chunks."""
+    f = _docs(spark, sf_dir).select(
+        "doc_id",
+        _md5(F.col("text")).alias("h"),
+        F.array(*[F.substring("text", i * 8 + 1, 8) for i in range(4)]).alias("slices"),
+    )
+    chunks = [
+        F.conv(F.substring("h", i * 8 + 1, 8), 16, 10).cast("long").alias(f"c{i}")
+        for i in range(4)
+    ]
+    bands = f.select("doc_id", *chunks, F.posexplode("slices").alias("band_id", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        *[F.col(f"a.c{i}").alias(f"c{i}_a") for i in range(4)],
+        *[F.col(f"b.c{i}").alias(f"c{i}_b") for i in range(4)],
+    )
+    wide = joined.groupBy("doc_id_a", "doc_id_b").agg(
+        *[F.any_value(f"c{i}_{s}").alias(f"c{i}_{s}") for i in range(4) for s in "ab"]
+    )
+    ham = None
+    for i in range(4):
+        term = F.bit_count(F.col(f"c{i}_a").bitwiseXOR(F.col(f"c{i}_b")))
+        ham = term if ham is None else ham + term
+    return wide.select(
+        "doc_id_a", "doc_id_b", ham.cast("long").alias("hamming_dist")
+    ).where(F.col("hamming_dist") <= 120)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups over a table with planted exact copies (documents
     unioned with an id-shifted copy of itself)."""
@@ -340,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bands": q_lsh_bands,
         "candidate_pairs": q_candidate_pairs,
         "match_edges": q_match_edges,
+        "wide_block_scores": q_wide_block_scores,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -419,6 +462,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT cp.doc_id_a, cp.doc_id_b, {d('fa.h', 'fb.h')} AS hamming_dist
             FROM cp JOIN f fa ON cp.doc_id_a = fa.doc_id JOIN f fb ON cp.doc_id_b = fb.doc_id
             WHERE {d('fa.h', 'fb.h')} <= 60
+        """,
+        "wide_block_scores": f"""
+            WITH f AS (SELECT doc_id, md5(text) AS h, text FROM documents),
+            bands AS (
+              SELECT doc_id, h, r.band_id AS band_id,
+                     substr(text, (r.band_id*8+1)::INT, 8) AS band_val
+              FROM f CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) r),
+            wide AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     any_value(a.h) AS ha, any_value(b.h) AS hb
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_id_a, doc_id_b, {d('ha', 'hb')} AS hamming_dist
+            FROM wide WHERE {d('ha', 'hb')} <= 120
         """,
         "exact_dedup": """
             WITH doubled AS (

@@ -67,10 +67,10 @@ def main() -> None:
         convs = assemble.assemble_conversations(tr)
         sigs = simhash.signatures(convs).persist()
         n_sigs = sigs.count()
-        pairs, _ = blocking.candidate_pairs(sigs)
+        pairs, _ = blocking.candidate_pairs_wide(sigs)
         pairs = pairs.persist()
         n_pairs = pairs.count()
-        edges = scoring.score_and_match(pairs, sigs, max_dist=40).persist()
+        edges = scoring.score_wide(pairs, max_dist=40).persist()
         n_edges = edges.count()
         cc, rounds = clustering.connected_components(edges)
         clusters = clustering.with_singletons(cc, sigs.select("conv_id"))

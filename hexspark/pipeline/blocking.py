@@ -93,3 +93,75 @@ def candidate_pairs(
         .distinct()  # a pair agreeing on k bands must score once, not k times
     )
     return pairs, block_stats
+
+
+def candidate_pairs_wide(
+    signatures: DataFrame,
+    n_bands: int = 16,
+    max_block: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH-blocked candidate pairs that CARRY both sides' signature chunks
+    and canonical keys out of the band self-join.
+
+    Plan-shape rationale (the 100TB-relevant one): the thin variant emits
+    (conv_id_a, conv_id_b) and scoring must join the signatures table twice
+    to re-attach fingerprints — three shuffles of the pair stream and, at
+    sandbox scale, a broadcast-hash probe per pair row that measures an
+    order of magnitude slower than the scoring kernel itself. Here the band
+    rows carry (chunks, canon) into the self-join, so scoring becomes a
+    pure narrow map stage: no attach joins, one dedup shuffle total.
+
+    Returns (pairs_wide, block_stats); pairs_wide has conv_id_a/b,
+    c{i}_a/b signature chunk longs, canon_a/b.
+    """
+    from .scoring import N_CHUNKS, sig_chunks
+
+    assert SIG_HEX_CHARS % n_bands == 0, "n_bands must divide 64"
+    w = SIG_HEX_CHARS // n_bands
+    slices = F.array(*[F.substring("sig_hex", i * w + 1, w) for i in range(n_bands)])
+    chunk_cols = [c.alias(f"c{i}") for i, c in enumerate(sig_chunks_raw())]
+    bands = signatures.select(
+        "conv_id", "canon", *chunk_cols, F.posexplode(slices).alias("band_id", "band_val")
+    )
+
+    sizes = bands.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("block_size")
+    )
+    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
+    keep = sizes.where(
+        (F.col("block_size") <= max_block) & (F.col("block_size") > 1)
+    ).select("band_id", "band_val")
+    kept = bands.join(keep, ["band_id", "band_val"])
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.conv_id") < F.col("b.conv_id")),
+    ).select(
+        F.col("a.conv_id").alias("conv_id_a"),
+        F.col("b.conv_id").alias("conv_id_b"),
+        F.col("a.canon").alias("canon_a"),
+        F.col("b.canon").alias("canon_b"),
+        *[F.col(f"a.c{i}").alias(f"c{i}_a") for i in range(N_CHUNKS)],
+        *[F.col(f"b.c{i}").alias(f"c{i}_b") for i in range(N_CHUNKS)],
+    )
+    # one row per pair: hash-agg on the pair key; payload columns are
+    # identical across the pair's matching bands, so any_value is exact
+    payload = [c for c in joined.columns if c not in ("conv_id_a", "conv_id_b")]
+    pairs = joined.groupBy("conv_id_a", "conv_id_b").agg(
+        *[F.any_value(c).alias(c) for c in payload]
+    )
+    return pairs, block_stats
+
+
+def sig_chunks_raw():
+    """The 8 x 32-bit chunk expressions of sig_hex without side suffix."""
+    from .scoring import N_CHUNKS
+
+    return [
+        F.conv(F.substring("sig_hex", i * 8 + 1, 8), 16, 10).cast("long")
+        for i in range(N_CHUNKS)
+    ]

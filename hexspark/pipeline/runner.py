@@ -34,6 +34,10 @@ class PipelineConfig:
     min_score: float = 0.0
     cc_max_iter: int = 20
     pair_partitions: int | None = None  # explicit repartition before scoring
+    # wide pairs carry both sides' signature chunks + canon out of the band
+    # self-join, so scoring is a pure narrow map (no re-attach joins) — the
+    # scale-path plan; False falls back to thin pairs + two attach joins
+    wide_pairs: bool = True
 
 
 @dataclass
@@ -108,9 +112,10 @@ class Runner:
         )
 
         def build_pairs() -> DataFrame:
-            pairs, stats = blocking.candidate_pairs(
-                sigs, n_bands=cfg.n_bands, max_block=cfg.max_block
+            maker = (
+                blocking.candidate_pairs_wide if cfg.wide_pairs else blocking.candidate_pairs
             )
+            pairs, stats = maker(sigs, n_bands=cfg.n_bands, max_block=cfg.max_block)
             self.io.write(stats.where(F.col("skipped")), "skipped_blocks")
             return pairs
 
@@ -120,6 +125,10 @@ class Runner:
             p = pairs
             if cfg.pair_partitions:
                 p = p.repartition(cfg.pair_partitions)
+            if cfg.wide_pairs:
+                return scoring.score_wide(
+                    p, max_dist=cfg.max_dist, alpha=cfg.alpha, min_score=cfg.min_score
+                )
             return scoring.score_and_match(
                 p, sigs, max_dist=cfg.max_dist, alpha=cfg.alpha, min_score=cfg.min_score
             )

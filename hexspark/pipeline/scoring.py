@@ -6,11 +6,13 @@ batches; the match gate is A3's ``dist <= max_dist`` predicate
 (python_hexhamming.cc:62-64). The secondary Jaro-Winkler term runs on the
 short canonical keys, also batch-vectorized (hexspark.columns.jaro_winkler).
 
-Plan shape: candidate_pairs is joined twice against the signatures table to
-attach (sig, canon) for each side. Both joins are plain shuffle-hash/SMJ
-equi-joins on conv_id — at sandbox scale AQE turns them into broadcasts;
-at 10^12-turn scale signatures is too big to broadcast and the shuffle on
-conv_id is the right plan. The scoring UDF itself is a narrow map stage.
+Plan shape: the preferred path is score_wide over
+blocking.candidate_pairs_wide — pair rows that already carry both sides'
+signature chunks and canon keys, making scoring a pure narrow map stage
+(codegen hamming gate, then the Arrow Jaro-Winkler kernel on survivors;
+zero joins, zero shuffles). score_and_match/score_pairs remain for thin
+pairs(conv_id_a, conv_id_b): they re-attach signatures with two equi-joins
+(broadcast at sandbox scale via AQE, shuffle joins at 10^12-turn scale).
 
     score = alpha * (1 - hamming_dist/256) + (1 - alpha) * jw(canon_a, canon_b)
 """
@@ -44,7 +46,6 @@ def _score_batches(alpha: float):
     hamming + vectorized Jaro-Winkler) run on the full batch."""
     from .. import arrow_kernels as ak
     from .. import kernels
-    from ..columns import _jw_core
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -53,9 +54,7 @@ def _score_batches(alpha: float):
             dist = kernels.hamming_bytes_matrix(
                 np.ascontiguousarray(sa), np.ascontiguousarray(sb)
             )
-            ca = ak.ascii_padded_matrix(batch.column("canon_a"), _CANON_LEN)
-            cb = ak.ascii_padded_matrix(batch.column("canon_b"), _CANON_LEN)
-            jw = _jw_core(ca, cb)
+            jw = C.jw_arrow(batch.column("canon_a"), batch.column("canon_b"))
             score = alpha * (1.0 - dist / float(SIG_BITS)) + (1.0 - alpha) * jw
             yield pa.RecordBatch.from_arrays(
                 [
@@ -121,14 +120,11 @@ _JW_SCHEMA = "conv_id_a string, conv_id_b string, hamming_dist long, jw double, 
 def _jw_batches(alpha: float):
     """mapInArrow kernel for the (already hamming-gated) survivor stream:
     computes Jaro-Winkler on the canon keys and the hybrid score."""
-    from .. import arrow_kernels as ak
-    from ..columns import _jw_core
+    from .. import columns as C
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ca = ak.ascii_padded_matrix(batch.column("canon_a"), _CANON_LEN)
-            cb = ak.ascii_padded_matrix(batch.column("canon_b"), _CANON_LEN)
-            jw = _jw_core(ca, cb)
+            jw = C.jw_arrow(batch.column("canon_a"), batch.column("canon_b"))
             dist = batch.column("hamming_dist").to_numpy(zero_copy_only=False)
             score = alpha * (1.0 - dist / float(SIG_BITS)) + (1.0 - alpha) * jw
             yield pa.RecordBatch.from_arrays(
@@ -176,6 +172,30 @@ def score_and_match(
     )
     gated = joined.where(F.col("hamming_dist") <= F.lit(max_dist)).select(
         "conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b"
+    )
+    scored = gated.mapInArrow(_jw_batches(alpha), _JW_SCHEMA)
+    return scored.where(F.col("score") >= F.lit(min_score))
+
+
+def score_wide(
+    pairs_wide: DataFrame,
+    max_dist: int = DEFAULT_MAX_DIST,
+    alpha: float = DEFAULT_ALPHA,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """B6+B7 over WIDE candidate pairs (blocking.candidate_pairs_wide):
+    the pair rows already carry both signatures' chunks and canon keys, so
+    this is a pure narrow map stage — JVM codegen hamming + gate, then the
+    Jaro-Winkler Arrow kernel on the survivors. No joins, no shuffle.
+
+    This is the scale-path realization of the reference's A2+A3 semantics
+    (python_hexhamming.h:167-197, cc:62-64): XOR+popcount runs inside
+    whole-stage codegen where the pair stream lives, and the within-dist
+    gate prunes before anything crosses to Python."""
+    gated = (
+        pairs_wide.withColumn("hamming_dist", hamming_jvm())
+        .where(F.col("hamming_dist") <= F.lit(max_dist))
+        .select("conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b")
     )
     scored = gated.mapInArrow(_jw_batches(alpha), _JW_SCHEMA)
     return scored.where(F.col("score") >= F.lit(min_score))

@@ -138,3 +138,49 @@ def test_first_match_probe_query(spark):
     assert first_match_index(df, probe, 0).collect()[0]["first_idx"] == 40
     # no element within 0 of a novel probe (bytes 200 not in table)
     assert first_match_index(df, bytes([200]) * 16, 0).collect()[0]["first_idx"] == -1
+
+
+def test_jw_arrow_kernels_differential():
+    """Reference-style differential test (set_algo loops,
+    test_hexhamming.py:69-77): the DuckDB and numpy Jaro-Winkler kernels
+    must agree on random strings, edge cases included."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from hexspark import columns as C
+
+    rng = np.random.default_rng(11)
+    chars = np.frombuffer(b"abcdefghij0123456789 ", dtype=np.uint8)
+    rows_a, rows_b = [], []
+    for _ in range(500):
+        la, lb = int(rng.integers(0, 48)), int(rng.integers(0, 48))
+        a = bytes(chars[rng.integers(0, len(chars), la)]).decode()
+        b = bytes(chars[rng.integers(0, len(chars), lb)]).decode()
+        if rng.random() < 0.3:
+            b = a[: max(la - 2, 0)] + "xy"  # near-dup prefix case
+        rows_a.append(a)
+        rows_b.append(b)
+    rows_a += ["", "", "abc", "martha"]
+    rows_b += ["", "abc", "", "marhta"]
+    ca, cb = pa.array(rows_a), pa.array(rows_b)
+
+    try:
+        import duckdb  # noqa: F401
+    except Exception:
+        import pytest
+
+        pytest.skip("duckdb not available")
+
+    saved = C._JW_IMPL
+    try:
+        C._JW_IMPL = "duckdb"
+        jw_duck = C.jw_arrow(ca, cb)
+        C._JW_IMPL = "numpy"
+        jw_np = C.jw_arrow(ca, cb)
+    finally:
+        C._JW_IMPL = saved
+    assert np.allclose(jw_duck, jw_np, atol=1e-12), (
+        np.abs(jw_duck - jw_np).max()
+    )
