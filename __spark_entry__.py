@@ -234,10 +234,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) LSH near-dup candidates + Jaccard estimate."""
+    """MinHash(k=8) LSH banded near-dup candidates (b=2 bands x r=4 rows)
+    + Jaccard estimate."""
     from hexspark.ops.dedup import minhash_pairs
 
-    return minhash_pairs(_docs(spark, sf_dir), k=8, max_block=1_000_000_000)
+    out = minhash_pairs(_docs(spark, sf_dir), k=8, band_rows=4, max_block=1_000_000_000)
+    return out.select("id_a", "id_b", "n_shared", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,15 +490,28 @@ def oracle_sql() -> dict[str, str]:
             FROM doubled GROUP BY 1 HAVING count(*) > 1
         """,
         "minhash_pairs": """
-            WITH sig AS (
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks)-1),
+                         i -> toks[i::INT] || ' ' || toks[(i+1)::INT] || ' ' || toks[(i+2)::INT])
+                     ELSE [array_to_string(toks, ' ')] END AS shingles
+              FROM t),
+            mh AS (
               SELECT doc_id, p.perm AS perm,
-                     list_min(list_transform(string_split(text, ' '),
+                     list_min(list_transform(shingles,
                               s -> md5(p.perm::VARCHAR || s))) AS mh
-              FROM documents CROSS JOIN (SELECT unnest(range(0,8)) AS perm) p)
+              FROM sh CROSS JOIN (SELECT unnest(range(0,8)) AS perm) p),
+            sig AS (
+              SELECT doc_id, (perm // 4)::INT AS band,
+                     md5(string_agg(mh, '' ORDER BY perm)) AS bv
+              FROM mh GROUP BY doc_id, (perm // 4)::INT)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared,
-                   count(*) / 8.0 AS est_jaccard
+                   round(pow(count(*) / 2.0, 0.25), 6) AS est_jaccard
             FROM sig a JOIN sig b
-              ON a.perm = b.perm AND a.mh = b.mh AND a.doc_id < b.doc_id
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
         "ngram_jaccard": """

@@ -42,11 +42,34 @@ def _perm_min(toks, perm: int):
     return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(str(perm)), t))))
 
 
-def minhash_signature(text_col, k: int = 8):
-    """Column: array of k min-hashes of the whitespace token set.
-    Permutation i = lexicographic min over tokens of md5(i || token)."""
+def shingles(text_col, size: int = 3):
+    """Column: array of `size`-token shingles of the whitespace tokens
+    (the whole text as one shingle when shorter). Shingling is what makes
+    MinHash discriminative on natural text: unigram token SETS of any two
+    documents over a shared vocabulary overlap heavily (Jaccard ~0.5 here),
+    while shingle sets of unrelated documents are nearly disjoint.
+
+    Built with zip_with over shifted slices — lambda args are materialized
+    values. (The naive transform(sequence, i -> element_at(toks, i+j))
+    formulation re-evaluates the split() expression inside every
+    element_at call in Spark's interpreted HOF path — measured ~90ms/doc.)
+    """
     toks = F.split(text_col, " ")
-    return F.array(*[_perm_min(toks, i) for i in range(k)])
+    n = F.size(toks)
+    m = n - (size - 1)  # number of shingles when n >= size
+    win = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+    for j in range(1, size):
+        nxt = F.slice(toks, 1 + j, F.greatest(m, F.lit(0)))
+        win = F.zip_with(win, nxt, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(n >= size, win).otherwise(F.array(text_col))
+
+
+def minhash_signature(text_col, k: int = 8, shingle_size: int = 3):
+    """Column: array of k min-hashes of the `shingle_size`-token shingle
+    set. Permutation i = lexicographic min over shingles of
+    md5(i || shingle) — engine-agnostic and deterministic."""
+    sh = shingles(text_col, shingle_size)
+    return F.array(*[_perm_min(sh, i) for i in range(k)])
 
 
 def minhash_pairs(
@@ -54,22 +77,52 @@ def minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    band_rows: int = 4,
+    shingle_size: int = 3,
     max_block: int = 5000,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs: docs sharing >=1 of k min-hashes.
-    Returns (id_a, id_b, n_shared, est_jaccard) with id_a < id_b.
-    est_jaccard = n_shared / k (the standard MinHash estimator)."""
-    sig = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(minhash_signature(F.col(text_col), k)).alias("perm", "mh")
+    """Near-duplicate candidate pairs via shingle→MinHash→LSH banding: the
+    k min-hashes of the shingle set are grouped into b = k/band_rows bands
+    each; a pair is a candidate iff it agrees on ALL hashes of >=1 band
+    (collision probability J^band_rows per band — the standard banding
+    construction, which is what keeps the candidate set sub-quadratic at
+    scale; band_rows=1 degenerates to "share any single min-hash", which
+    on a shared-vocabulary corpus matches nearly every pair).
+
+    Returns (id_a, id_b, n_shared, est_jaccard) with id_a < id_b;
+    n_shared = number of agreeing bands, est_jaccard = the r-th root of
+    the matching-band fraction ((n_shared/b)^(1/band_rows) — unbiased for
+    band_rows=1 where it reduces to the classic n_shared/k estimator)."""
+    assert k % band_rows == 0, "band_rows must divide k"
+    b_cnt = k // band_rows
+    # hot path: explode shingles to rows, then k codegen min-aggregates —
+    # no higher-order functions anywhere (HOFs run interpreted and
+    # re-evaluate captured expressions; measured 2 orders of magnitude
+    # slower than this shape at sf0.1)
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_size)).alias("s")
     )
-    sizes = sig.groupBy("perm", "mh").count().where(F.col("count") <= max_block)
-    kept = sig.join(sizes.select("perm", "mh"), ["perm", "mh"])
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("", *[F.col(f"m{i * band_rows + j}") for j in range(band_rows)]))
+            for i in range(b_cnt)
+        ]
+    )
+    sig = mins.select("id", F.posexplode(bands).alias("band", "bv"))
+    sizes = sig.groupBy("band", "bv").count().where(F.col("count") <= max_block)
+    kept = sig.join(sizes.select("band", "bv"), ["band", "bv"])
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.perm") == F.col("b.perm"))
-            & (F.col("a.mh") == F.col("b.mh"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(
@@ -77,7 +130,10 @@ def minhash_pairs(
             F.col("b.id").alias("id_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .withColumn("est_jaccard", F.col("n_shared") / F.lit(float(k)))
+        .withColumn(
+            "est_jaccard",
+            F.pow(F.col("n_shared") / F.lit(float(b_cnt)), 1.0 / band_rows),
+        )
     )
 
 
