@@ -194,3 +194,30 @@ def test_stage_metrics_lineage(spark, data):
     }
     for stage in Runner.STAGES:
         assert result.tables[stage].count() == per_stage[stage]
+
+
+def test_wide_path_equals_thin_path(spark):
+    """blocking.candidate_pairs_wide + scoring.score_wide must produce the
+    exact edge set of candidate_pairs + score_and_match (same bands, same
+    kernels — only the plan shape differs)."""
+    from pyspark.sql import functions as F
+
+    from hexspark import fixtures
+    from hexspark.pipeline import assemble, blocking, scoring
+    from hexspark.pipeline import simhash as sm
+
+    tr = fixtures.transcripts_df(spark, n_base=120, seed=7, mutation_rate=0.01)
+    sigs = sm.signatures(assemble.assemble_conversations(tr)).persist()
+
+    thin, _ = blocking.candidate_pairs(sigs)
+    e_thin = scoring.score_and_match(thin, sigs, max_dist=40).select(
+        "conv_id_a", "conv_id_b", "hamming_dist", F.round("jw", 9).alias("jw")
+    )
+    wide, _ = blocking.candidate_pairs_wide(sigs)
+    e_wide = scoring.score_wide(wide, max_dist=40).select(
+        "conv_id_a", "conv_id_b", "hamming_dist", F.round("jw", 9).alias("jw")
+    )
+    assert e_thin.exceptAll(e_wide).count() == 0
+    assert e_wide.exceptAll(e_thin).count() == 0
+    assert e_wide.count() > 0
+    sigs.unpersist()
