@@ -269,6 +269,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact mode — the DuckDB-checkable
+    baseline; the LSH-table mode is recall-tested against it in pytest)."""
+    from hexspark.ops.ann import embedding_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    out = embedding_neardup_pairs(emb, threshold=0.4, method="exact")
+    return out.select("vec_id_a", "vec_id_b", F.round("sim", 6).alias("sim"))
+
+
 def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Jaro-Winkler (B6 secondary scorer) on adjacent doc pairs'
     canonical 32-char keys — oracled against DuckDB's jaro_winkler_similarity."""
@@ -389,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
         "jaro_winkler": q_jaro_winkler,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -526,6 +537,12 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_filter(a.ng, x -> list_contains(b.ng, x)))),
                          6) AS jaccard
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         """,
         "ann_topk": """
             WITH p AS (SELECT vec_id AS probe_id, embedding AS pv

@@ -77,6 +77,89 @@ def _bucket_udf(planes: np.ndarray):
     return bucket
 
 
+def _multi_bucket_udf(all_planes: np.ndarray):
+    """pandas UDF: array of per-table sign-projection bucket ids.
+    all_planes: (n_tables, n_planes, dim)."""
+    from pyspark.sql.types import ArrayType
+
+    n_tables, n_planes, _ = all_planes.shape
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())  # (n, dim)
+        outs = np.empty((len(m), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            outs[:, t] = (((m @ all_planes[t].T) > 0) @ weights).astype(np.int64)
+        return pd.Series(list(outs))
+
+    return buckets
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and cosine >= threshold.
+
+    method="lsh" (the scale path): L=n_tables independent sign-projection
+    tables of h=n_planes hyperplanes each; candidates = pairs sharing a
+    bucket in >=1 table (OR-construction: recall 1-(1-p^h)^L with
+    p = 1 - theta/pi), then exact cosine re-rank of bucket-local pairs
+    only. The join is an equi-join on (table, bucket) — same plan family
+    as the SimHash LSH blocking, AQE-splittable, no full n^2 scan.
+
+    method="exact": all-pairs self-join + cosine filter — the oracle
+    baseline (O(n^2); for tests and small reference runs only).
+    """
+    a_id, b_id = f"{id_col}_a", f"{id_col}_b"
+    if method == "exact":
+        a = embeddings.select(F.col(id_col).alias(a_id), F.col(vec_col).alias("_va"))
+        b = embeddings.select(F.col(id_col).alias(b_id), F.col(vec_col).alias("_vb"))
+        pairs = a.crossJoin(b).where(F.col(a_id) < F.col(b_id))
+        sim = cosine_sim(F.col("_va"), F.col("_vb"))
+        return (
+            pairs.withColumn("sim", sim)
+            .where(F.col("sim") >= F.lit(threshold))
+            .select(a_id, b_id, "sim")
+        )
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+    buckets = _multi_bucket_udf(planes)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias(a_id), F.col("b.id").alias(b_id))
+        .agg(F.any_value(F.col("a.vec")).alias("_va"), F.any_value(F.col("b.vec")).alias("_vb"))
+    )
+    sim = cosine_sim(F.col("_va"), F.col("_vb"))
+    return (
+        cand.withColumn("sim", sim)
+        .where(F.col("sim") >= F.lit(threshold))
+        .select(a_id, b_id, "sim")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probes: DataFrame,

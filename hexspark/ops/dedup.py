@@ -168,21 +168,26 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs over arbitrary document tables — the ER
     pipeline's fingerprint+block+score core packaged as a standalone dedup
-    operator. Returns (id_a, id_b, hamming_dist)."""
-    from .. import columns as C
-    from ..pipeline import blocking, scoring
+    operator. Returns (id_a, id_b, hamming_dist).
 
-    sigs = (
-        docs.select(F.col(id_col).cast("string").alias("conv_id"), F.col(text_col).alias("doc_text"))
-        .withColumn("sig", C.simhash256("doc_text"))
-        .withColumn("sig_hex", C.sig_hex(F.col("sig")))
-        .withColumn(
-            "canon",
-            F.substring(F.regexp_replace(F.lower(F.col("doc_text")), "[^a-z0-9 ]", ""), 1, 48),
+    Uses the pipeline's fast plan end to end: the fused mapInArrow
+    fingerprint stage (one pass over the utf8 bytes for SimHash + canon +
+    hex) and the wide blocking path (band rows carry the signature chunks,
+    scoring is a joinless narrow map)."""
+    from ..pipeline import blocking, scoring
+    from ..pipeline.simhash import signatures
+
+    sigs = signatures(
+        docs.select(
+            F.col(id_col).cast("string").alias("conv_id"),
+            F.col(text_col).alias("doc_text"),
+            F.lit(1).alias("n_turns"),
         )
     )
-    pairs, _ = blocking.candidate_pairs(sigs, n_bands=n_bands, max_block=max_block)
-    return scoring.score_and_match(pairs, sigs, max_dist=max_dist).select(
+    pairs_wide, _ = blocking.candidate_pairs_wide(
+        sigs, n_bands=n_bands, max_block=max_block
+    )
+    return scoring.score_wide(pairs_wide, max_dist=max_dist).select(
         F.col("conv_id_a").alias("id_a"),
         F.col("conv_id_b").alias("id_b"),
         "hamming_dist",

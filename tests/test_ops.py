@@ -139,3 +139,38 @@ def test_multimodal_decode_is_honestly_stubbed(spark):
     with pytest.raises(Exception) as excinfo:
         multimodal.extract_features(media, fake_decode=False).collect()
     assert "NotImplementedError" in str(excinfo.value) or "image decode" in str(excinfo.value)
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH-table mode must recover most of the exact near-dup pairs (the
+    OR-construction recall bound), never inventing below-threshold pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hexspark.ops.ann import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    # 30 cluster centers x 4 noisy members -> many true near-dups
+    centers = rng.standard_normal((30, 64)).astype(np.float32)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(4):
+            v = c + 0.15 * rng.standard_normal(64).astype(np.float32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_neardup_pairs(emb, threshold=0.9, method="exact").collect()
+    }
+    lsh_out = embedding_neardup_pairs(
+        emb, threshold=0.9, method="lsh", n_planes=8, n_tables=8
+    ).collect()
+    lsh = {(r.vec_id_a, r.vec_id_b) for r in lsh_out}
+    assert exact, "fixture must contain true near-dups"
+    assert lsh <= exact  # precision 1.0: exact re-rank can never over-report
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} true pairs"
+    assert all(r.sim >= 0.9 for r in lsh_out)
