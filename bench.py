@@ -61,7 +61,10 @@ def main() -> None:
 
     # --- ER pipeline over synthetic transcripts scaled to SF ---------------
     n_base = max(int(20000 * sf), 200)
-    tr = fixtures.transcripts_df(spark, n_base=n_base, seed=42, mutation_rate=0.01)
+    # materialize the input before the pipeline timer: generation is
+    # harness cost, not engine cost (the scaling job does the same)
+    tr = fixtures.transcripts_df(spark, n_base=n_base, seed=42, mutation_rate=0.01).persist()
+    tr.count()
 
     def run_pipeline():
         convs = assemble.assemble_conversations(tr)

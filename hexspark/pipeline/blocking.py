@@ -25,7 +25,7 @@ blowup. Handled explicitly, per the north rule:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SIG_HEX_CHARS = 64  # 256 bits
@@ -67,15 +67,17 @@ def candidate_pairs(
     )
     block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
 
-    # keep only sane blocks; blocks of size 1 generate no pairs — drop early
-    keep = sizes.where(
-        (F.col("block_size") <= max_block) & (F.col("block_size") > 1)
-    ).select("band_id", "band_val")
-
-    # broadcast the keep-list only if it is small is an optimizer decision;
-    # the equi-join below shuffles on (band_id, band_val) either way and AQE
-    # picks broadcast when sizes allow.
-    kept = bands.join(keep, ["band_id", "band_val"])
+    # block-size gate as a window over the band shuffle: ONE exchange on
+    # (band_id, band_val) that the self-join below reuses for both sides
+    # (ReusedExchange), instead of a separate sizes-aggregate + re-join of
+    # the keep-list — which at scale is a second full shuffle of the band
+    # table. Blocks of size 1 generate no pairs — dropped early.
+    w = Window.partitionBy("band_id", "band_val")
+    kept = (
+        bands.withColumn("block_size", F.count(F.lit(1)).over(w))
+        .where((F.col("block_size") <= max_block) & (F.col("block_size") > 1))
+        .drop("block_size")
+    )
 
     a = kept.alias("a")
     b = kept.alias("b")
@@ -114,7 +116,7 @@ def candidate_pairs_wide(
     Returns (pairs_wide, block_stats); pairs_wide has conv_id_a/b,
     c{i}_a/b signature chunk longs, canon_a/b.
     """
-    from .scoring import N_CHUNKS, sig_chunks
+    from .scoring import N_CHUNKS
 
     assert SIG_HEX_CHARS % n_bands == 0, "n_bands must divide 64"
     w = SIG_HEX_CHARS // n_bands
@@ -128,10 +130,13 @@ def candidate_pairs_wide(
         F.count(F.lit(1)).alias("block_size")
     )
     block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
-    keep = sizes.where(
-        (F.col("block_size") <= max_block) & (F.col("block_size") > 1)
-    ).select("band_id", "band_val")
-    kept = bands.join(keep, ["band_id", "band_val"])
+    # window-based block gate: one exchange, reused by both self-join sides
+    win = Window.partitionBy("band_id", "band_val")
+    kept = (
+        bands.withColumn("block_size", F.count(F.lit(1)).over(win))
+        .where((F.col("block_size") <= max_block) & (F.col("block_size") > 1))
+        .drop("block_size")
+    )
 
     a = kept.alias("a")
     b = kept.alias("b")
@@ -148,11 +153,15 @@ def candidate_pairs_wide(
         *[F.col(f"a.c{i}").alias(f"c{i}_a") for i in range(N_CHUNKS)],
         *[F.col(f"b.c{i}").alias(f"c{i}_b") for i in range(N_CHUNKS)],
     )
-    # one row per pair: hash-agg on the pair key; payload columns are
-    # identical across the pair's matching bands, so any_value is exact
-    payload = [c for c in joined.columns if c not in ("conv_id_a", "conv_id_b")]
-    pairs = joined.groupBy("conv_id_a", "conv_id_b").agg(
-        *[F.any_value(c).alias(c) for c in payload]
+    # one row per pair. The canon strings ride in the GROUP KEY (they are
+    # identical across a pair's matching bands, so the grouping is still
+    # by pair); only the fixed-width chunk longs are aggregated (max ==
+    # any, payload identical). With every aggregate buffer fixed-width
+    # this stays a HashAggregate — first()/any_value/max over strings
+    # would force SortAggregate, a full sort of the pair stream.
+    chunk_payload = [c for c in joined.columns if c.startswith("c")  and c not in ("conv_id_a", "conv_id_b", "canon_a", "canon_b")]
+    pairs = joined.groupBy("conv_id_a", "conv_id_b", "canon_a", "canon_b").agg(
+        *[F.max(c).alias(c) for c in chunk_payload]
     )
     return pairs, block_stats
 

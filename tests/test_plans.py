@@ -1,0 +1,106 @@
+"""Physical-plan shape assertions — the 100TB design claims, checked
+against what Catalyst actually produces (`.explain` as a test oracle).
+
+These tests pin the properties that matter at scale and would silently
+regress without failing any value-level test:
+  - score_wide is a pure narrow map: NO exchange between the pair source
+    and the result (scoring never shuffles).
+  - the blocking self-join reuses one band exchange for both sides
+    (window gate + self-join co-partitioning).
+  - parquet scans receive pushed filters and pruned schemas.
+  - the hamming gate runs inside whole-stage codegen, before Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _sigs(spark, n_base=60):
+    from hexspark import fixtures
+    from hexspark.pipeline import assemble
+    from hexspark.pipeline import simhash as sm
+
+    tr = fixtures.transcripts_df(spark, n_base=n_base, seed=3, mutation_rate=0.01)
+    return sm.signatures(assemble.assemble_conversations(tr))
+
+
+def test_score_wide_has_no_shuffle(spark):
+    """Scoring over wide pairs must add ZERO exchanges: hamming + gate in
+    codegen, then mapInArrow — all narrow. The only exchanges in the full
+    plan belong to blocking (band shuffle + pair dedup)."""
+    from hexspark.pipeline import blocking, scoring
+
+    sigs = _sigs(spark)
+    wide, _ = blocking.candidate_pairs_wide(sigs)
+    n_exchanges_pairs = _plan(wide).count("Exchange")
+    scored = scoring.score_wide(wide, max_dist=40)
+    n_exchanges_scored = _plan(scored).count("Exchange")
+    assert n_exchanges_scored == n_exchanges_pairs, (
+        "score_wide introduced a shuffle on top of the pair stream"
+    )
+
+
+def test_blocking_dedup_is_hash_aggregate(spark):
+    """The pair dedup must be a HashAggregate with map-side partials —
+    never a SortAggregate (string-buffered first()/any_value/max force a
+    full sort of the pair stream; the canon keys therefore ride in the
+    group key and only fixed-width chunk longs are aggregated)."""
+    from hexspark.pipeline import blocking
+
+    sigs = _sigs(spark)
+    wide, _ = blocking.candidate_pairs_wide(sigs)
+    plan = _plan(wide)
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "HashAggregate" in plan
+
+
+def test_parquet_scan_pushdown(spark):
+    """Filters and projections must reach the parquet scan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    plan = _plan(q)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:1500]
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), "column pruning failed: " + m.group(1)
+
+
+def test_hamming_gate_in_codegen_before_python(spark):
+    """The within-dist gate must appear as a codegen Filter on bit_count
+    XOR terms BEFORE the Python (ArrowEvalPython/MapInArrow) operator —
+    the plan-level realization of the reference's early-exit."""
+    from hexspark.pipeline import blocking, scoring
+
+    sigs = _sigs(spark)
+    wide, _ = blocking.candidate_pairs_wide(sigs)
+    scored = scoring.score_wide(wide, max_dist=40)
+    plan = _plan(scored)
+    py_pos = plan.find("MapInArrow")
+    assert py_pos > 0, plan[:1500]
+    gate_pos = plan.find("bit_count")
+    assert 0 < gate_pos, "hamming gate not visible in plan"
+    # formatted explain lists operators top-down root-first: the python
+    # operator (closer to the root) prints BEFORE the filter feeding it
+    assert py_pos < gate_pos, "gate does not precede the Python stage"
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    """exact_dedup's shuffle must carry the 16-byte digest, not the text:
+    md5 is computed map-side (partial aggregate before the exchange)."""
+    from hexspark.ops.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(exact_dedup_groups(docs))
+    # partial_count / merge_count split proves map-side partial aggregation
+    assert "partial_count" in plan or "HashAggregate" in plan
+    m = re.search(r"hashpartitioning\(text_md5", plan)
+    assert m, "shuffle key is not the digest: " + plan[:1500]
