@@ -62,11 +62,33 @@ class Runner:
         self._manifest_path = os.path.join(workdir, "run_manifest.json")
 
     # -- manifest -----------------------------------------------------------
+    def _cfg_dict(self) -> dict:
+        from dataclasses import asdict
+
+        return asdict(self.cfg)
+
     def _manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
-                return json.load(f)
-        return {"completed": {}, "run_id": str(uuid.uuid4())[:8]}
+                m = json.load(f)
+            stored = m.get("config")
+            if stored is not None and stored != self._cfg_dict():
+                changed = {
+                    k: (stored.get(k), v)
+                    for k, v in self._cfg_dict().items()
+                    if stored.get(k) != v
+                }
+                raise ValueError(
+                    "workdir was produced with a different pipeline config "
+                    f"({changed}); stage outputs would be stale. Use a fresh "
+                    "workdir or rerun with the original config."
+                )
+            return m
+        return {
+            "completed": {},
+            "run_id": str(uuid.uuid4())[:8],
+            "config": self._cfg_dict(),
+        }
 
     def _mark(self, manifest: dict, stage: str, rows: int, wall_ms: int) -> None:
         manifest["completed"][stage] = {"rows": rows, "wall_ms": wall_ms}

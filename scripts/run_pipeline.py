@@ -1,0 +1,82 @@
+"""Production entrypoint: the full ER pipeline as a spark-submit job.
+
+    spark-submit --master <cluster> --py-files build/hexspark.zip \\
+        scripts/run_pipeline.py \\
+        --input  <path or table of transcripts(conv_id,turn_idx,role,text,tool,ts)> \\
+        --workdir <stage-table root (Iceberg namespace or path)> \\
+        [--max-dist 20] [--n-bands 16] [--max-block 2000] [--min-score 0.0]
+
+Master/executors come from spark-submit. Every stage materializes to the
+workdir (Iceberg when a catalog is configured — see pipeline/io.py — else
+parquet), records per-partition lineage in stage_metrics, and is skipped
+on rerun when already complete, so a killed job resumes from its last
+finished stage. Exit output is one JSON line with per-stage rows and the
+run manifest location.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path or table")
+    ap.add_argument("--workdir", required=True, help="stage output root")
+    ap.add_argument("--max-dist", type=int, default=20)
+    ap.add_argument("--n-bands", type=int, default=16)
+    ap.add_argument("--max-block", type=int, default=2000)
+    ap.add_argument("--min-score", type=float, default=0.0)
+    ap.add_argument("--alpha", type=float, default=0.75)
+    args = ap.parse_args()
+
+    import os
+
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
+    spark = (
+        SparkSession.builder.appName("hexspark-er-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from hexspark.pipeline.runner import PipelineConfig, Runner
+
+    if args.input.endswith((".parquet", "/")) or "/" in args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = spark.table(args.input)
+
+    cfg = PipelineConfig(
+        n_bands=args.n_bands,
+        max_block=args.max_block,
+        max_dist=args.max_dist,
+        alpha=args.alpha,
+        min_score=args.min_score,
+    )
+    runner = Runner(spark, args.workdir, cfg)
+    result = runner.run(transcripts)
+
+    out = {
+        "run_id": result.run_id,
+        "stages_run": result.stages_run,
+        "stages_skipped": result.stages_skipped,
+        "cc_rounds": result.cc_rounds,
+        "rows": {name: df.count() for name, df in result.tables.items()},
+        "manifest": f"{args.workdir}/run_manifest.json",
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
