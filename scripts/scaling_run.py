@@ -10,9 +10,11 @@ build/hexspark.zip --master spark://...` at three sizes:
   2N = 2 executors x 8 cores   (spark.cores.max=16)
   4N = 4 executors x 8 cores   (spark.cores.max=32)
 
-The identical job runs on identical input at each size (seeded generator,
-partitioning fixed at 128 independent of cluster size); each level reports
-best-of-3 fresh-plan repetitions.
+The identical job runs on identical input at each size (seeded generator;
+bulk stream partitioned at 4 tasks/core per level); each level reports
+best-of-N fresh-plan repetitions. A low-occupancy N->4N experiment
+(1 x 2-core vs 4 x 2-core executors) isolates engine scaling from the
+single-box full-occupancy ceiling, which a hardware control quantifies.
 
 A hardware control runs alongside: K independent CPU-bound processes
 (numpy multiply-add on L1-resident arrays) measure how the MACHINE scales
