@@ -54,6 +54,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Force the serialized (Unsafe) sort shuffle writer for every
+        # shuffle instead of BypassMergeSortShuffleWriter. Bypass opens one
+        # file per reducer per map task (64 reducers x 32 concurrent tasks
+        # = 2048 live file streams); on this VM's ext4 the resulting
+        # small-file creation storm inflated shuffle-write time ~50x and
+        # per-task CPU ~8x at full occupancy (measured: blocking stage
+        # 16.6s -> 5.4s at local[32] with this one setting). The Unsafe
+        # writer emits ONE spill file + index per map task regardless of
+        # reducer count — the same reason it is the right choice on a
+        # 1000-executor cluster, where M*R tiny shuffle files would
+        # overwhelm node-local disks.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("HEXSPARK_DRIVER_MEM", "16g"))

@@ -85,6 +85,11 @@ class StandaloneCluster:
         for i in range(self.n_workers):
             wenv = dict(env)
             wenv["SPARK_WORKER_DIR"] = f"/tmp/scaling-worker-{i}"
+            # shuffle/spill dirs on tmpfs: stands in for the node-local
+            # NVMe a real cluster node would have — this VM's single ext4
+            # virtual disk serializes concurrent shuffle-file creation
+            # across all executors (measured; see hexspark/session.py)
+            wenv["SPARK_LOCAL_DIRS"] = f"/dev/shm/spark-local-{i}"
             self.procs.append(
                 subprocess.Popen(
                     [spark_bin("spark-class"), "org.apache.spark.deploy.worker.Worker",
@@ -122,6 +127,7 @@ def run_level(cluster_url: str, cores: int, zpath: str, n_base: int,
         "--conf", f"spark.executorEnv.MALLOC_MMAP_THRESHOLD_={1 << 30}",
         "--conf", f"spark.executorEnv.MALLOC_TRIM_THRESHOLD_={1 << 30}",
         "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.local.dir=/dev/shm/spark-local-driver",
         os.path.join(REPO, "scripts", "scaling_job.py"),
         "--cpus", str(cores),
         "--n-base", str(n_base),
