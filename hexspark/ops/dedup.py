@@ -114,22 +114,108 @@ def minhash_pairs(
             for i in range(b_cnt)
         ]
     )
-    sig = mins.select("id", F.posexplode(bands).alias("band", "bv"))
-    sizes = sig.groupBy("band", "bv").count().where(F.col("count") <= max_block)
-    kept = sig.join(sizes.select("band", "bv"), ["band", "bv"])
+    # Same plan discipline as pipeline/blocking.py: band rows carry BOTH
+    # sides' band hashes through the self-join, so pair dedup and the
+    # shared-band count are codegen (first-matching-band filter +
+    # bit_count of the match mask) — the pair stream is never aggregated
+    # or re-shuffled. Oversize blocks (boilerplate docs agreeing on a
+    # band) are salt-chained instead of dropped, preserving cluster
+    # connectivity with O(size) pairs.
+    sig = mins.select("id", bands.alias("bhs"))
+    rows = sig.select("id", "bhs", F.posexplode("bhs").alias("band", "bv"))
+    sizes = rows.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("block_size"))
+    oversize = sizes.where(F.col("block_size") > max_block)
+    banned = (
+        rows.join(oversize.select("band", "bv"), ["band", "bv"])
+        .groupBy("id")
+        .agg(F.sum(F.expr("shiftleft(1L, band)")).alias("banned"))
+    )
+    sig_b = sig.join(banned, "id", "left").withColumn(
+        "banned", F.coalesce(F.col("banned"), F.lit(0).cast("long"))
+    )
+    brows = sig_b.select(
+        "id", "bhs", "banned", F.posexplode("bhs").alias("band", "bv")
+    )
+    low_bits = F.expr("shiftleft(1L, band) - 1")
+
+    def match_mask(a_col, b_col):
+        expr = None
+        for i in range(b_cnt):
+            term = F.when(
+                F.element_at(a_col, i + 1) == F.element_at(b_col, i + 1),
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            expr = term if expr is None else expr + term
+        return expr.cast("long")
+
+    kept = brows.where(F.expr("(shiftright(banned, band) & 1) = 0"))
     a, b = kept.alias("a"), kept.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.band").alias("band"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.bhs").alias("bhs_a"),
+        F.col("b.bhs").alias("bhs_b"),
+        F.col("a.banned").alias("banned_a"),
+    )
+    normal = (
+        joined.withColumn("match", match_mask(F.col("bhs_a"), F.col("bhs_b")))
+        .withColumn("eff", F.col("match").bitwiseAND(F.bitwise_not(F.col("banned_a"))))
+        .where(F.col("eff").bitwiseAND(low_bits) == 0)
+    )
+
+    over = (
+        brows.where(F.expr("(shiftright(banned, band) & 1) = 1"))
+        .join(F.broadcast(oversize), ["band", "bv"])
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64(F.col("id").cast("string")),
+                F.ceil(F.col("block_size") / F.lit(max_block)).cast("long"),
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    payload = F.struct("id", "bhs", "banned")
+    wg = Window.partitionBy("band", "bv", "salt").orderBy("id")
+    adjacent = over.withColumn("nb", F.lead(payload).over(wg)).withColumn(
+        "rn", F.row_number().over(wg)
+    )
+    reps = adjacent.where(F.col("rn") == 1).drop("nb", "rn")
+    wr = Window.partitionBy("band", "bv").orderBy("salt")
+    rep_pairs = reps.withColumn("nb", F.lead(payload).over(wr))
+    chain_src = adjacent.drop("rn").unionByName(rep_pairs).where(
+        F.col("nb").isNotNull()
+    )
+    swap = F.col("nb.id") < F.col("id")
+    chain_rows = chain_src.select(
+        "band",
+        F.when(swap, F.col("nb.id")).otherwise(F.col("id")).alias("id_a"),
+        F.when(swap, F.col("id")).otherwise(F.col("nb.id")).alias("id_b"),
+        F.when(swap, F.col("nb.bhs")).otherwise(F.col("bhs")).alias("bhs_a"),
+        F.when(swap, F.col("bhs")).otherwise(F.col("nb.bhs")).alias("bhs_b"),
+        F.when(swap, F.col("nb.banned")).otherwise(F.col("banned")).alias("banned_a"),
+    )
+    chain = (
+        chain_rows.withColumn("match", match_mask(F.col("bhs_a"), F.col("bhs_b")))
+        .withColumn("eff", F.col("match").bitwiseAND(F.bitwise_not(F.col("banned_a"))))
+        .withColumn("bmatch", F.col("match").bitwiseAND(F.col("banned_a")))
+        .where((F.col("eff") == 0) & (F.col("bmatch").bitwiseAND(low_bits) == 0))
+        .drop("bmatch")
+    )
+
+    out = normal.select("id_a", "id_b", "match").unionByName(
+        chain.select("id_a", "id_b", "match")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        out.withColumn("n_shared", F.bit_count(F.col("match")).cast("long"))
+        .drop("match")
         .withColumn(
             "est_jaccard",
             F.pow(F.col("n_shared") / F.lit(float(b_cnt)), 1.0 / band_rows),
@@ -183,7 +269,10 @@ def simhash_neardup_pairs(
             F.col(text_col).alias("doc_text"),
             F.lit(1).alias("n_turns"),
         )
-    )
+    ).persist()  # blocking references the signatures several times (sizes,
+    # banned masks, both join sides); without materialization each
+    # reference would re-run the fingerprint stage. The pipeline runner
+    # materializes this stage to a table; here a cache serves the same role.
     pairs_wide, _ = blocking.candidate_pairs_wide(
         sigs, n_bands=n_bands, max_block=max_block
     )

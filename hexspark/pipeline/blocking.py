@@ -1,4 +1,5 @@
-"""B4/B5 — LSH banding + explicit skew handling.
+"""B4/B5 — LSH banding with exchange-free pair dedup + salted oversize
+block chaining.
 
 The 256-bit signature is cut into ``n_bands`` contiguous bands of
 ``256 / n_bands`` bits each. Two signatures within hamming distance d are
@@ -7,35 +8,62 @@ The 256-bit signature is cut into ``n_bands`` contiguous bands of
 python_hexhamming.cc:62-64, moved from inside the scalar loop up to the
 plan level: prune pairs before scoring instead of mid-scoring).
 
-Everything here is pure Catalyst: band values are substrings of sig_hex
-(whole-stage codegen), candidates come from one self-equi-join on
-(band_id, band_val), and pair dedup is a distinct on the pair key.
+Plan shape (the 100TB-relevant properties):
 
-Skew (B5): hot band values — boilerplate conversations that share a band
-value with thousands of others — would give one join key a quadratic pair
-blowup. Handled explicitly, per the north rule:
-  1. stop-band cap: band groups larger than ``max_block`` are dropped from
-     candidate generation (each dropped group is observable in the returned
-     stats DF). A conversation cluster that big agrees on *other* bands
-     with near-certainty, and true mega-blocks are boilerplate by
-     construction.
-  2. AQE skew-join splitting remains enabled for residual imbalance
-     (session.py sets spark.sql.adaptive.skewJoin.enabled).
+1. Band values are INTEGERS (bit slices of the signature chunks), not hex
+   substrings — the band exchange and its sort compare 8-byte longs, not
+   UTF8 strings.
+2. Pair dedup ("a pair agreeing on k bands must score once, not k times")
+   is a pure CODEGEN FILTER, not an aggregation: each joined row carries
+   both full signatures as chunk longs, so it can recompute the complete
+   band-match bitmask and keep the row only when its own band is the FIRST
+   matching band that was not suppressed by the skew gate. This removes
+   the pair-stream dedup exchange entirely — at scale that shuffle is
+   quadratic-ish in block size while the band exchange is linear, so it
+   dominates blocking cost.
+3. Skew (B5, explicit per north_rule): blocks larger than ``max_block``
+   do NOT generate all-pairs joins and are NOT dropped (a boilerplate
+   near-dup mega-cluster agrees on *every* band, so dropping oversize
+   blocks would silently drop exactly the clusters dedup exists to find).
+   Instead each oversize block is salt-split into groups of ~max_block by
+   pmod(xxhash64(conv_id), n_salt); within each salt group members are
+   chained by signature order (size-1 adjacent pairs from one window
+   lead()), and the per-group representatives are chained across groups.
+   A path through every member preserves cluster connectivity with
+   O(size) pairs instead of O(size^2), fully parallel across salt groups.
+   All of this reuses the same band exchange (window partition keys
+   refine the exchange's hash keys — no extra shuffle).
+
+Exactness of the filter-based dedup: for a joined pair let
+``match`` = bitmask of bands where the signatures agree, and ``banned`` =
+bitmask of bands whose block for this pair exceeds max_block (a per-conv
+mask; on a matching band both sides are in the SAME block, so either
+side's bit is valid). The normal branch emits the pair exactly at the
+lowest set bit of ``match & ~banned``; the chain branch emits an adjacent
+or representative pair exactly at the lowest set bit of ``match & banned``
+and only when ``match & ~banned == 0`` (otherwise the normal branch
+already emitted it). Every emitted pair is therefore emitted exactly once
+across both branches. A chain pair suppressed because its first banned
+matching band is a different block stays connected through that block's
+own chain, so cluster-level connectivity is preserved.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SIG_HEX_CHARS = 64  # 256 bits
+_CHUNK_HEX = 8      # 8 hex chars = 32 bits per chunk
 
 
 def band_projection(signatures: DataFrame, n_bands: int = 16) -> DataFrame:
     """signatures → bands(conv_id, band_id, band_val).
 
     band_val is the band's slice of sig_hex — a fixed-width hex substring,
-    computed JVM-side (no UDF, no shuffle).
+    computed JVM-side (no UDF, no shuffle). Kept for observability /
+    block-statistics queries; candidate generation uses the integer band
+    values below.
     """
     assert SIG_HEX_CHARS % n_bands == 0, "n_bands must divide 64"
     w = SIG_HEX_CHARS // n_bands
@@ -47,123 +75,48 @@ def band_projection(signatures: DataFrame, n_bands: int = 16) -> DataFrame:
     )
 
 
-def candidate_pairs(
-    signatures: DataFrame,
-    n_bands: int = 16,
-    max_block: int = 2000,
-) -> tuple[DataFrame, DataFrame]:
-    """LSH-blocked candidate pairs.
-
-    Returns (pairs, block_stats):
-      pairs(conv_id_a, conv_id_b) with conv_id_a < conv_id_b, distinct
-      block_stats(band_id, band_val, block_size, skipped) — lineage for the
-      skew decision (every dropped block is visible, per north_rule's
-      "skew handled explicitly").
-    """
-    bands = band_projection(signatures, n_bands)
-
-    sizes = bands.groupBy("band_id", "band_val").agg(
-        F.count(F.lit(1)).alias("block_size")
-    )
-    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
-
-    # block-size gate as a window over the band shuffle: ONE exchange on
-    # (band_id, band_val) that the self-join below reuses for both sides
-    # (ReusedExchange), instead of a separate sizes-aggregate + re-join of
-    # the keep-list — which at scale is a second full shuffle of the band
-    # table. Blocks of size 1 generate no pairs — dropped early.
-    w = Window.partitionBy("band_id", "band_val")
-    kept = (
-        bands.withColumn("block_size", F.count(F.lit(1)).over(w))
-        .where((F.col("block_size") <= max_block) & (F.col("block_size") > 1))
-        .drop("block_size")
-    )
-
-    a = kept.alias("a")
-    b = kept.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.conv_id") < F.col("b.conv_id")),
-        )
-        .select(
-            F.col("a.conv_id").alias("conv_id_a"),
-            F.col("b.conv_id").alias("conv_id_b"),
-        )
-        .distinct()  # a pair agreeing on k bands must score once, not k times
-    )
-    return pairs, block_stats
-
-
-def candidate_pairs_wide(
-    signatures: DataFrame,
-    n_bands: int = 16,
-    max_block: int = 2000,
-) -> tuple[DataFrame, DataFrame]:
-    """LSH-blocked candidate pairs that CARRY both sides' signature chunks
-    and canonical keys out of the band self-join.
-
-    Plan-shape rationale (the 100TB-relevant one): the thin variant emits
-    (conv_id_a, conv_id_b) and scoring must join the signatures table twice
-    to re-attach fingerprints — three shuffles of the pair stream and, at
-    sandbox scale, a broadcast-hash probe per pair row that measures an
-    order of magnitude slower than the scoring kernel itself. Here the band
-    rows carry (chunks, canon) into the self-join, so scoring becomes a
-    pure narrow map stage: no attach joins, one dedup shuffle total.
-
-    Returns (pairs_wide, block_stats); pairs_wide has conv_id_a/b,
-    c{i}_a/b signature chunk longs, canon_a/b.
-    """
-    from .scoring import N_CHUNKS
-
+def _band_geometry(n_bands: int) -> tuple[int, int]:
+    """(hex chars per band, bits per band); bands must not straddle the
+    32-bit chunk boundary so each band is a bit slice of ONE chunk long."""
     assert SIG_HEX_CHARS % n_bands == 0, "n_bands must divide 64"
-    w = SIG_HEX_CHARS // n_bands
-    slices = F.array(*[F.substring("sig_hex", i * w + 1, w) for i in range(n_bands)])
-    chunk_cols = [c.alias(f"c{i}") for i, c in enumerate(sig_chunks_raw())]
-    bands = signatures.select(
-        "conv_id", "canon", *chunk_cols, F.posexplode(slices).alias("band_id", "band_val")
+    w_hex = SIG_HEX_CHARS // n_bands
+    assert w_hex <= _CHUNK_HEX and _CHUNK_HEX % w_hex == 0, (
+        "band width must divide the 32-bit chunk (n_bands >= 8)"
     )
+    return w_hex, 4 * w_hex
 
-    sizes = bands.groupBy("band_id", "band_val").agg(
-        F.count(F.lit(1)).alias("block_size")
-    )
-    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
-    # window-based block gate: one exchange, reused by both self-join sides
-    win = Window.partitionBy("band_id", "band_val")
-    kept = (
-        bands.withColumn("block_size", F.count(F.lit(1)).over(win))
-        .where((F.col("block_size") <= max_block) & (F.col("block_size") > 1))
-        .drop("block_size")
-    )
 
-    a = kept.alias("a")
-    b = kept.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_val") == F.col("b.band_val"))
-        & (F.col("a.conv_id") < F.col("b.conv_id")),
-    ).select(
-        F.col("a.conv_id").alias("conv_id_a"),
-        F.col("b.conv_id").alias("conv_id_b"),
-        F.col("a.canon").alias("canon_a"),
-        F.col("b.canon").alias("canon_b"),
-        *[F.col(f"a.c{i}").alias(f"c{i}_a") for i in range(N_CHUNKS)],
-        *[F.col(f"b.c{i}").alias(f"c{i}_b") for i in range(N_CHUNKS)],
-    )
-    # one row per pair. The canon strings ride in the GROUP KEY (they are
-    # identical across a pair's matching bands, so the grouping is still
-    # by pair); only the fixed-width chunk longs are aggregated (max ==
-    # any, payload identical). With every aggregate buffer fixed-width
-    # this stays a HashAggregate — first()/any_value/max over strings
-    # would force SortAggregate, a full sort of the pair stream.
-    chunk_payload = [c for c in joined.columns if c.startswith("c")  and c not in ("conv_id_a", "conv_id_b", "canon_a", "canon_b")]
-    pairs = joined.groupBy("conv_id_a", "conv_id_b", "canon_a", "canon_b").agg(
-        *[F.max(c).alias(c) for c in chunk_payload]
-    )
-    return pairs, block_stats
+def _band_val_int(b: int, n_bands: int, side: str = "") -> Column:
+    """Integer value of band b extracted from the signature chunk longs
+    c{i}[_side]: pure codegen bit arithmetic, no strings."""
+    w_hex, w_bits = _band_geometry(n_bands)
+    chunk = (b * w_hex) // _CHUNK_HEX
+    off = (b * w_hex) % _CHUNK_HEX          # hex-char offset inside chunk
+    shift = 4 * (_CHUNK_HEX - off - w_hex)  # bits below the band in chunk
+    col = F.col(f"c{chunk}_{side}" if side else f"c{chunk}")
+    v = F.shiftright(col, shift) if shift else col
+    return v.bitwiseAND(F.lit((1 << w_bits) - 1))
+
+
+def _band_match_bit(b: int, n_bands: int) -> Column:
+    """True iff band b of sides a/b agree — tested on the XOR of the chunk
+    longs, masked to the band's bit range (no per-side extraction)."""
+    w_hex, w_bits = _band_geometry(n_bands)
+    chunk = (b * w_hex) // _CHUNK_HEX
+    off = (b * w_hex) % _CHUNK_HEX
+    shift = 4 * (_CHUNK_HEX - off - w_hex)
+    mask = ((1 << w_bits) - 1) << shift
+    x = F.col(f"c{chunk}_a").bitwiseXOR(F.col(f"c{chunk}_b"))
+    return x.bitwiseAND(F.lit(mask)) == 0
+
+
+def _match_mask(n_bands: int) -> Column:
+    """Long bitmask over all bands: bit b set iff band b matches."""
+    expr = None
+    for b in range(n_bands):
+        term = F.when(_band_match_bit(b, n_bands), F.lit(1 << b)).otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    return expr.cast("long")
 
 
 def sig_chunks_raw():
@@ -174,3 +127,187 @@ def sig_chunks_raw():
         F.conv(F.substring("sig_hex", i * 8 + 1, 8), 16, 10).cast("long")
         for i in range(N_CHUNKS)
     ]
+
+
+def _pair_projection(n_chunks: int, swap: Column):
+    """Select-list producing the canonical (conv_id_a < conv_id_b) wide
+    pair columns from a row carrying own + neighbor ("nb") payloads,
+    swapping sides when the neighbor sorts first."""
+    def pick(own: Column, nb: Column, a_side: bool):
+        take_own = ~swap if a_side else swap
+        return F.when(take_own, own).otherwise(nb)
+
+    cols = [
+        pick(F.col("conv_id"), F.col("nb.conv_id"), True).alias("conv_id_a"),
+        pick(F.col("conv_id"), F.col("nb.conv_id"), False).alias("conv_id_b"),
+        pick(F.col("canon"), F.col("nb.canon"), True).alias("canon_a"),
+        pick(F.col("canon"), F.col("nb.canon"), False).alias("canon_b"),
+    ]
+    for i in range(n_chunks):
+        cols.append(pick(F.col(f"c{i}"), F.col(f"nb.c{i}"), True).alias(f"c{i}_a"))
+        cols.append(pick(F.col(f"c{i}"), F.col(f"nb.c{i}"), False).alias(f"c{i}_b"))
+    cols.append(
+        pick(F.col("banned"), F.col("nb.banned"), True).alias("banned_a")
+    )
+    cols.append(
+        pick(F.col("banned"), F.col("nb.banned"), False).alias("banned_b")
+    )
+    return cols
+
+
+def candidate_pairs_wide(
+    signatures: DataFrame,
+    n_bands: int = 16,
+    max_block: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH-blocked candidate pairs that CARRY both sides' signature chunks
+    and canonical keys out of the band self-join, each pair emitted
+    EXACTLY ONCE with zero pair-stream shuffles (see module docstring).
+
+    Plan: ONE full-width band exchange feeds the self-join (both sides via
+    ReusedExchange). The skew gate is a codegen bit-test on the per-conv
+    banned-band mask — no window, no sort beyond the join's own. Block
+    sizes travel through a tiny aggregated side-channel (sizes/oversize/
+    banned are all small by construction and AQE broadcasts them).
+
+    Returns (pairs_wide, block_stats); pairs_wide has conv_id_a/b,
+    canon_a/b, c{i}_a/b signature chunk longs. block_stats(band_id,
+    band_val, block_size, skipped) — `skipped` marks oversize blocks
+    routed to the salted chain branch (observability, per north_rule's
+    "skew handled explicitly").
+    """
+    from .scoring import N_CHUNKS
+
+    chunk_cols = [c.alias(f"c{i}") for i, c in enumerate(sig_chunks_raw())]
+    sigs_c = signatures.select("conv_id", "canon", *chunk_cols)
+    band_vals = F.array(*[_band_val_int(b, n_bands) for b in range(n_bands)])
+
+    bands_raw = sigs_c.select(
+        "conv_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    sizes = bands_raw.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("block_size")
+    )
+    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
+
+    # per-conv banned-band mask: bit b set iff the conv's block at band b
+    # is oversize. The oversize list is small by construction (each entry
+    # represents >max_block near-identical docs); AQE picks a broadcast
+    # join at any sane scale and falls back to a shuffle join otherwise.
+    oversize = sizes.where(F.col("block_size") > max_block)
+    banned = (
+        bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
+        .groupBy("conv_id")
+        .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
+    )
+    sigs_b = (
+        sigs_c.join(banned, "conv_id", "left")
+        .withColumn("banned", F.coalesce(F.col("banned"), F.lit(0).cast("long")))
+    )
+
+    bands = sigs_b.select(
+        "conv_id", "canon", "banned",
+        *[f"c{i}" for i in range(N_CHUNKS)],
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+    low_bits = F.expr("shiftleft(1L, band_id) - 1")
+
+    # ---- normal branch: band rows whose own block is not oversize -------
+    # (blocks of size 1 pass through; they produce no join output and are
+    # not worth a count-window — the exchange volume is the same either
+    # way and the bit-test below is free codegen)
+    kept = bands.where(F.expr("(shiftright(banned, band_id) & 1) = 0"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.conv_id") < F.col("b.conv_id")),
+    ).select(
+        F.col("a.band_id").alias("band_id"),
+        F.col("a.conv_id").alias("conv_id_a"),
+        F.col("b.conv_id").alias("conv_id_b"),
+        F.col("a.canon").alias("canon_a"),
+        F.col("b.canon").alias("canon_b"),
+        F.col("a.banned").alias("banned_a"),
+        *[F.col(f"a.c{i}").alias(f"c{i}_a") for i in range(N_CHUNKS)],
+        *[F.col(f"b.c{i}").alias(f"c{i}_b") for i in range(N_CHUNKS)],
+    )
+    eff = _match_mask(n_bands).bitwiseAND(F.bitwise_not(F.col("banned_a")))
+    normal = (
+        joined.withColumn("eff", eff)
+        .where(F.col("eff").bitwiseAND(low_bits) == 0)
+        .drop("eff", "band_id", "banned_a")
+    )
+
+    # ---- chain branch: oversize blocks, salted path instead of drop -----
+    # input is ONLY the band rows of oversize blocks (usually none/few);
+    # its windows exchange just those rows, independent of the main join.
+    over = (
+        bands.where(F.expr("(shiftright(banned, band_id) & 1) = 1"))
+        .join(
+            F.broadcast(oversize.select("band_id", "band_val", "block_size")),
+            ["band_id", "band_val"],
+        )
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64("conv_id"),
+                F.ceil(F.col("block_size") / F.lit(max_block)).cast("long"),
+            ),
+        )
+    )
+    chunk_names = [f"c{i}" for i in range(N_CHUNKS)]
+    order_cols = [*chunk_names, "conv_id"]
+    payload = F.struct("conv_id", "canon", "banned", *chunk_names)
+
+    wg = Window.partitionBy("band_id", "band_val", "salt").orderBy(*order_cols)
+    adjacent = (
+        over.withColumn("nb", F.lead(payload).over(wg))
+        .withColumn("rn", F.row_number().over(wg))
+    )
+    reps = adjacent.where(F.col("rn") == 1).drop("nb", "rn")
+    wr = Window.partitionBy("band_id", "band_val").orderBy("salt")
+    rep_pairs = reps.withColumn("nb", F.lead(payload).over(wr))
+    chain_src = adjacent.drop("rn").unionByName(
+        rep_pairs, allowMissingColumns=False
+    ).where(F.col("nb").isNotNull())
+
+    swap = F.col("nb.conv_id") < F.col("conv_id")
+    chain_rows = chain_src.select(
+        "band_id", *_pair_projection(N_CHUNKS, swap)
+    )
+    cmatch = _match_mask(n_bands)
+    chain = (
+        chain_rows.withColumn("match", cmatch)
+        .withColumn("eff", F.col("match").bitwiseAND(F.bitwise_not(F.col("banned_a"))))
+        .withColumn("bmatch", F.col("match").bitwiseAND(F.col("banned_a")))
+        .where(
+            (F.col("eff") == 0)
+            & (F.col("bmatch").bitwiseAND(low_bits) == 0)
+        )
+        .drop("match", "eff", "bmatch", "band_id", "banned_a", "banned_b")
+    )
+
+    out_cols = [
+        "conv_id_a", "conv_id_b", "canon_a", "canon_b",
+        *[f"c{i}_a" for i in range(N_CHUNKS)],
+        *[f"c{i}_b" for i in range(N_CHUNKS)],
+    ]
+    pairs = normal.select(*out_cols).unionByName(chain.select(*out_cols))
+    return pairs, block_stats
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 16,
+    max_block: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """Thin LSH-blocked candidate pairs (conv_id_a, conv_id_b) — a
+    projection of the wide path, so both share one engine implementation
+    and the exactly-once guarantee."""
+    wide, block_stats = candidate_pairs_wide(
+        signatures, n_bands=n_bands, max_block=max_block
+    )
+    return wide.select("conv_id_a", "conv_id_b"), block_stats

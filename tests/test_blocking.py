@@ -1,0 +1,164 @@
+"""B4/B5 blocking semantics: exactly-once pair emission, oversize-block
+salt-chaining (skew handling that preserves cluster connectivity instead
+of dropping mega-blocks), and parity with a brute-force band oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark.pipeline import blocking, clustering
+
+
+def _sigs_df(spark, rows):
+    """rows: list of (conv_id, sig_hex); canon is irrelevant to blocking."""
+    return spark.createDataFrame(
+        [(cid, h, "canon-" + cid) for cid, h in rows],
+        "conv_id string, sig_hex string, canon string",
+    )
+
+
+def _hex(i: int) -> str:
+    return f"{i:064x}"
+
+
+def test_pairs_match_bruteforce_band_oracle(spark):
+    """With no oversize blocks, candidate_pairs must equal the distinct
+    set of pairs sharing >=1 band (brute-force oracle via band_projection
+    + self-join + distinct)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    # 40 random sigs + planted near-dup groups sharing high bands
+    for i in range(40):
+        rows.append((f"c{i:03d}", _hex(rng.getrandbits(256))))
+    base = rng.getrandbits(256)
+    for i in range(5):  # 5 sigs differing only in the last hex char
+        rows.append((f"d{i:03d}", _hex((base & ~0xF) | i)))
+    sigs = _sigs_df(spark, rows)
+
+    pairs, _ = blocking.candidate_pairs(sigs, max_block=2000)
+    got = {(r.conv_id_a, r.conv_id_b) for r in pairs.collect()}
+
+    bands = blocking.band_projection(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    want = {
+        (r.x, r.y)
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .select(F.col("a.conv_id").alias("x"), F.col("b.conv_id").alias("y"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # exactly-once: no duplicate rows either
+    assert pairs.count() == len(got)
+
+
+def test_oversize_block_salt_chain_recovers_cluster(spark):
+    """VERDICT r1 #2 done-criterion: a 5000-member near-duplicate cluster
+    with max_block=2000 must still come out as ONE connected cluster (the
+    old stop-band policy silently dropped it), with O(n) chain pairs, not
+    O(n^2), and no duplicate pair rows."""
+    n = 5000
+    rows = [(f"m{i:05d}", _hex(0xABCDEF)) for i in range(n)]  # identical sigs
+    sigs = _sigs_df(spark, rows)
+    pairs, stats = blocking.candidate_pairs(sigs, max_block=2000)
+    pairs = pairs.persist()
+
+    n_pairs = pairs.count()
+    # a path needs >= n-1 edges; salt-chaining emits ~n per block, never n^2/2
+    assert n - 1 <= n_pairs <= 4 * n, n_pairs
+    # no duplicates
+    assert pairs.groupBy("conv_id_a", "conv_id_b").count().where("count > 1").count() == 0
+    # all 16 blocks flagged as skipped->salted in stats
+    assert stats.where("skipped").count() == 16
+
+    cc, _ = clustering.connected_components(pairs)
+    comp = cc.agg(F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n")).collect()[0]
+    assert comp["k"] == 1 and comp["n"] == n
+    pairs.unpersist()
+
+
+def test_oversize_and_normal_blocks_coexist(spark):
+    """Mixing a mega-block with ordinary near-dup pairs must keep the
+    ordinary pairs exactly as the brute-force oracle gives them, add chain
+    pairs for the mega-block, and emit nothing twice."""
+    import random
+
+    rng = random.Random(5)
+    mega = [(f"m{i:04d}", _hex(0x1234)) for i in range(30)]
+    normals = []
+    base = rng.getrandbits(256)
+    for i in range(6):
+        normals.append((f"n{i:02d}", _hex((base & ~0xF) | i)))
+    for i in range(20):
+        normals.append((f"r{i:02d}", _hex(rng.getrandbits(256))))
+    sigs = _sigs_df(spark, mega + normals)
+
+    pairs, stats = blocking.candidate_pairs(sigs, max_block=10)
+    pairs = pairs.persist()
+    assert pairs.groupBy("conv_id_a", "conv_id_b").count().where("count > 1").count() == 0
+
+    got = {(r.conv_id_a, r.conv_id_b) for r in pairs.collect()}
+    # normal-only pairs (both sides n/r) must match the brute-force oracle
+    # (none of the n/r sigs share a band with the mega sig by construction
+    # probability; verify via oracle anyway)
+    bands = blocking.band_projection(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    brute = {
+        (r.x, r.y)
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .select(F.col("a.conv_id").alias("x"), F.col("b.conv_id").alias("y"))
+        .distinct()
+        .collect()
+    }
+    brute_normal = {p for p in brute if not (p[0].startswith("m") and p[1].startswith("m"))}
+    got_normal = {p for p in got if not (p[0].startswith("m") and p[1].startswith("m"))}
+    assert got_normal == brute_normal
+
+    # the mega block is connected through chain pairs
+    mega_pairs = [p for p in got if p[0].startswith("m") and p[1].startswith("m")]
+    assert len(mega_pairs) >= 29  # spanning tree of 30 members
+    cc, _ = clustering.connected_components(pairs)
+    mega_cluster = (
+        cc.where(F.col("conv_id").startswith("m"))
+        .agg(F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert mega_cluster["k"] == 1 and mega_cluster["n"] == 30
+    pairs.unpersist()
+
+
+def test_band_val_int_matches_hex_substring(spark):
+    """The integer band values (bit slices of the chunk longs) must agree
+    with the hex-substring band projection for every band."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(f"c{i:02d}", _hex(rng.getrandbits(256))) for i in range(8)]
+    sigs = _sigs_df(spark, rows)
+
+    chunk_cols = [c.alias(f"c{i}") for i, c in enumerate(blocking.sig_chunks_raw())]
+    band_vals = F.array(
+        *[blocking._band_val_int(b, 16) for b in range(16)]
+    )
+    ints = (
+        sigs.select("conv_id", "sig_hex", *chunk_cols)
+        .select("conv_id", "sig_hex", F.posexplode(band_vals).alias("band_id", "iv"))
+    )
+    both = ints.withColumn(
+        "hv", F.conv(F.expr("substring(sig_hex, band_id*4 + 1, 4)"), 16, 10).cast("long")
+    )
+    assert both.where(F.col("iv") != F.col("hv")).count() == 0

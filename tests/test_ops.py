@@ -174,3 +174,37 @@ def test_embedding_neardup_lsh_recall(spark):
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} true pairs"
     assert all(r.sim >= 0.9 for r in lsh_out)
+
+
+def test_minhash_oversize_block_salt_chain(spark):
+    """Identical docs forming a block far above max_block must still come
+    out connected (salt-chained), with no duplicate pairs and no O(n^2)
+    pair blowup — same B5 policy as the signature blocking."""
+    from hexspark.ops.dedup import minhash_pairs
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for everyone") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_pairs(docs, k=8, band_rows=4, max_block=10).persist()
+    cnt = pairs.count()
+    assert n - 1 <= cnt <= 4 * n, cnt
+    assert pairs.groupBy("id_a", "id_b").count().where("count > 1").count() == 0
+    # identical docs agree on every band
+    assert pairs.where("n_shared != 2").count() == 0
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert len({find(i) for i in range(60)}) == 1
+    pairs.unpersist()

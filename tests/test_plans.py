@@ -49,18 +49,20 @@ def test_score_wide_has_no_shuffle(spark):
     )
 
 
-def test_blocking_dedup_is_hash_aggregate(spark):
-    """The pair dedup must be a HashAggregate with map-side partials —
-    never a SortAggregate (string-buffered first()/any_value/max force a
-    full sort of the pair stream; the canon keys therefore ride in the
-    group key and only fixed-width chunk longs are aggregated)."""
+def test_blocking_dedup_is_filter_not_shuffle(spark):
+    """Pair dedup must be the codegen first-matching-band filter — the
+    pair stream is never aggregated or re-shuffled: no exchange keyed on
+    the pair columns, no SortAggregate anywhere (string/array-buffered
+    aggregates would force a full sort of the pair stream)."""
     from hexspark.pipeline import blocking
 
     sigs = _sigs(spark)
     wide, _ = blocking.candidate_pairs_wide(sigs)
     plan = _plan(wide)
     assert "SortAggregate" not in plan, plan[:2000]
-    assert "HashAggregate" in plan
+    assert "hashpartitioning(conv_id_a" not in plan, (
+        "pair stream is being shuffled for dedup"
+    )
 
 
 def test_parquet_scan_pushdown(spark):
