@@ -28,27 +28,49 @@ from . import kernels
 
 _PARSE_ERR = "error occurred while parsing arguments"
 
-# set_algo kernel registry: numpy implementations standing in for the
-# reference's CPU-dispatched kernels (cc:294-344). 'classic' = nibble LOOKUP
-# table path, 'native' = byte-wide table (the numpy analogue of hardware
-# popcnt), 'extra'/'sse41' alias the best available path — numpy itself does
-# the hardware dispatch the reference does with cpuid (h:36-146).
-_ALGOS = ("extra", "native", "sse41", "classic")
-_current_algo = "extra"
+# set_algo rebinds the actual popcount kernels (cc:294-344, USE__* macros
+# h:606-629): 'classic' = nibble LOOKUP16 path, 'native' = byte-wide POPCNT8
+# table (hardware-popcnt analogue), 'sse41' = 16-bit POPCNT16 table,
+# 'extra' = uint64-view + POPCNT16 fast path (AVX2 analogue, the default).
+# Each name resolves to a distinct code path in hexspark.kernels; the
+# reference's CPU capability gate (cc:313-336) is mirrored with the same
+# bit layout (h:69-72) and error text (cc:17,479).
+_ALGO_CAPABILITY_BIT = {
+    "extra": 1 << 5,  # bit_AVX2 (h:72)
+    "native": 1 << 23,  # bit_POPCNT (h:70)
+    "sse41": 1 << 19,  # bit_SSE41 (h:69)
+    "classic": 0,  # always available (cc:338-340)
+}
+
+
+def _cpu_capabilities() -> int:
+    """Capability mask in the reference's bit layout; numpy performs the
+    hardware dispatch the reference does with cpuid, so all bits are set.
+    Tests monkeypatch this to exercise the CPU-unsupported branch."""
+    return kernels.CPU_CAPABILITIES
 
 
 def set_algo(name: str) -> str:
     """Switch kernel implementation; returns '' on success, error text
-    otherwise (cc:294-344). All algos are always available here — numpy
-    handles hardware dispatch — so this never reports a CPU-support error,
-    matching the reference's behavior on a fully-featured CPU."""
-    global _current_algo
+    otherwise (cc:294-344). Unknown algo → the reference's built-without
+    message (cc:342); capability-gated algo on an unsupporting CPU → the
+    reference's cpu_not_support_msg format (cc:17,479)."""
     if not isinstance(name, str):
         return _PARSE_ERR
-    if name not in _ALGOS:
-        return f"algo {name} is not supported"
-    _current_algo = name
+    if name not in _ALGO_CAPABILITY_BIT:
+        return "Library was built without this algorithm."
+    caps = _cpu_capabilities()
+    bit = _ALGO_CAPABILITY_BIT[name]
+    if (caps & bit) != bit:
+        return "CPU doesnt support this feature. {%X}" % caps
+    kernels.set_kernel_algo(name)
     return ""
+
+
+def get_algo() -> str:
+    """Currently bound kernel algo (introspection helper; no reference
+    counterpart — the reference exposes state only via behavior)."""
+    return kernels.get_kernel_algo()
 
 
 def _require_str(x) -> None:

@@ -36,6 +36,80 @@ POPCNT16 = np.array([bin(i).count("1") for i in range(65536)], dtype=np.uint8)
 
 _INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)  # UINT64_MAX sentinel, h:230-232
 
+# ---------------------------------------------------------------------------
+# set_algo kernel dispatch (SURVEY §2.1 A5)
+#
+# The reference's set_algo rebinds function pointers to one of four popcount
+# kernels chosen by CPU capability (cc:294-344; USE__* macros h:606-629).
+# The numpy analogues are four genuinely distinct code paths over the XOR'd
+# byte matrix:
+#   classic : two nibble LOOKUP16 gathers per byte   (scalar loop, h:204)
+#   native  : one byte-wide POPCNT8 gather per byte  (hardware popcnt)
+#   sse41   : one POPCNT16 gather per 2 bytes        (SSE4.1 128-bit shuffle)
+#   extra   : uint64-view XOR + POPCNT16 + u16 row sums (AVX2; the default)
+# KERNEL_CALLS counts invocations per path so differential tests can assert
+# each algo really ran its own kernel.
+# ---------------------------------------------------------------------------
+
+# CPU capability mask, reference bit layout (h:69-72): SSE41 = 1<<19,
+# POPCNT = 1<<23, AVX2 = 1<<5. numpy performs the hardware dispatch the
+# reference does with cpuid, so every path is always available here.
+CPU_CAPABILITIES = (1 << 19) | (1 << 23) | (1 << 5)
+
+KERNEL_CALLS = {"classic": 0, "native": 0, "sse41": 0, "extra": 0}
+_ALGO = {"name": "extra"}
+
+
+def set_kernel_algo(name: str) -> None:
+    """Rebind the popcount kernel used by hamming_bytes_matrix /
+    hamming_hex_fixed (the analogue of the reference's USE__* rebinding)."""
+    if name not in KERNEL_CALLS:
+        raise ValueError(f"unknown kernel algo {name!r}")
+    _ALGO["name"] = name
+
+
+def get_kernel_algo() -> str:
+    return _ALGO["name"]
+
+
+def _pop_classic(x: np.ndarray) -> np.ndarray:
+    """Nibble-table path: LOOKUP16 on high and low nibbles separately."""
+    KERNEL_CALLS["classic"] += 1
+    return (
+        LOOKUP16[x >> 4].sum(axis=1, dtype=np.int64)
+        + LOOKUP16[x & 0x0F].sum(axis=1, dtype=np.int64)
+    )
+
+
+def _pop_native(x: np.ndarray) -> np.ndarray:
+    """Byte-wide table path: one POPCNT8 gather per byte."""
+    KERNEL_CALLS["native"] += 1
+    return POPCNT8[x].sum(axis=1, dtype=np.int64)
+
+
+def _pop_sse41(x: np.ndarray) -> np.ndarray:
+    """16-bit-wide table path: one POPCNT16 gather per 2 bytes (odd widths
+    fall back to the byte table for the whole row)."""
+    KERNEL_CALLS["sse41"] += 1
+    if x.shape[1] % 2 == 0 and x.flags.c_contiguous:
+        return POPCNT16[x.view(np.uint16)].sum(axis=1, dtype=np.int64)
+    return POPCNT8[x].sum(axis=1, dtype=np.int64)
+
+
+_POP_DISPATCH = {"classic": _pop_classic, "native": _pop_native, "sse41": _pop_sse41}
+
+
+def popcount_rows(x: np.ndarray) -> np.ndarray:
+    """Per-row popcount of an XOR'd (n, w) uint8 matrix under the currently
+    bound algo (the kernel the reference's function pointers resolve to)."""
+    algo = _ALGO["name"]
+    if algo != "extra":
+        return _POP_DISPATCH[algo](x)
+    KERNEL_CALLS["extra"] += 1
+    if x.shape[1] % 2 == 0 and x.flags.c_contiguous:
+        return POPCNT16[x.view(np.uint16)].sum(axis=1, dtype=np.int64)
+    return POPCNT8[x].sum(axis=1, dtype=np.int64)
+
 
 def _ascii_matrix(strings: list[str], width: int) -> np.ndarray:
     """Pack equal-width ASCII strings into an (n, width) uint8 matrix."""
@@ -81,7 +155,20 @@ def hamming_hex_fixed(a: list[str], b: list[str], width: int) -> tuple[np.ndarra
     vb, invb = decode_hex_nibbles(mb)
     row_invalid = (inva | invb).any(axis=1) if width else np.zeros(len(a), dtype=bool)
     x = (va ^ vb).astype(np.uint8) & 0x0F
-    dist = LOOKUP16[x].sum(axis=1, dtype=np.uint64) if width else np.zeros(len(a), dtype=np.uint64)
+    if width == 0:
+        dist = np.zeros(len(a), dtype=np.uint64)
+    elif _ALGO["name"] == "classic":
+        KERNEL_CALLS["classic"] += 1
+        dist = LOOKUP16[x].sum(axis=1, dtype=np.uint64)
+    else:
+        # non-classic algos: pack adjacent XOR'd nibbles back into bytes
+        # (zero-pad odd widths) and run the bound byte-popcount kernel —
+        # the string path rebinds with set_algo just like the bytes path
+        # (reference rebinds ptr__hamming_distance_string too, h:606-629).
+        if width % 2:
+            x = np.concatenate([x, np.zeros((x.shape[0], 1), np.uint8)], axis=1)
+        xb = np.ascontiguousarray((x[:, 0::2] << np.uint8(4)) | x[:, 1::2])
+        dist = popcount_rows(xb).astype(np.uint64)
     return dist, row_invalid
 
 
@@ -106,6 +193,10 @@ def hamming_bytes_matrix(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
     w = ma.shape[1]
     if w == 0:
         return np.zeros(ma.shape[0], dtype=np.int64)
+    algo = _ALGO["name"]
+    if algo != "extra":
+        return _POP_DISPATCH[algo](ma ^ mb)
+    KERNEL_CALLS["extra"] += 1
     if w % 8 == 0 and w <= 8100 and ma.flags.c_contiguous and mb.flags.c_contiguous:
         x = ma.view(np.uint64) ^ mb.view(np.uint64)
         return (

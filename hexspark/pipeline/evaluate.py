@@ -54,9 +54,20 @@ def pairwise_f1(
 
     pos = labels.where(F.col("is_match")).select("conv_id_a", "conv_id_b")
 
-    tp = pred.join(pos, ["conv_id_a", "conv_id_b"], "inner").count()
-    fp = pred.join(pos, ["conv_id_a", "conv_id_b"], "left_anti").count()
-    fn = pos.join(pred, ["conv_id_a", "conv_id_b"], "left_anti").count()
+    # single action: full-outer join the predicted and labeled pair sets on
+    # the pair key, then one conditional-count aggregate — the join pipeline
+    # above is computed once instead of three times.
+    merged = pred.withColumn("_pred", F.lit(1)).join(
+        pos.withColumn("_pos", F.lit(1)),
+        ["conv_id_a", "conv_id_b"],
+        "full_outer",
+    )
+    row = merged.agg(
+        F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("_pred").isNull() & F.col("_pos").isNotNull(), 1)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(row["tp"]), int(row["fp"]), int(row["fn"])
 
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0
