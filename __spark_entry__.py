@@ -179,6 +179,32 @@ def q_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/B9 clustering, DuckDB-oracled: large-star/small-star connected
+    components over a hamming match-edge graph (per-lang pairs at dist<=50
+    → 49 components incl. one 168-node cluster at sf0.01), cluster_id = min
+    member id. The oracle mirrors it with a recursive min-label CTE."""
+    from hexspark import columns as C
+    from hexspark.pipeline.clustering import connected_components
+
+    f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    a, b = f.alias("a"), f.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .where(C.hamming_hex(F.col("a.h"), F.col("b.h")) <= 50)
+        .select(
+            F.col("a.doc_id").alias("conv_id_a"), F.col("b.doc_id").alias("conv_id_b")
+        )
+    )
+    cc, _ = connected_components(edges)
+    return cc.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_wide_block_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WIDE blocking+scoring plan shape (blocking.candidate_pairs_wide →
     scoring.score_wide) in SQL-expressible form: band rows carry the
@@ -270,12 +296,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact mode — the DuckDB-checkable
-    baseline; the LSH-table mode is recall-tested against it in pytest)."""
+    """Embedding-cosine near-dup pairs on the LSH scale path (the one that
+    survives 100 TB: bucketed equi-join, never all-pairs). Hyperplanes are
+    md5-parity-derived so the DuckDB oracle mirrors bucket assignment
+    exactly; the exact O(n^2) mode is test-only (tests/test_ops.py)."""
     from hexspark.ops.ann import embedding_neardup_pairs
 
     emb = _embeddings(spark, sf_dir)
-    out = embedding_neardup_pairs(emb, threshold=0.4, method="exact")
+    out = embedding_neardup_pairs(
+        emb, threshold=0.4, method="lsh", n_planes=4, n_tables=4
+    )
     return out.select("vec_id_a", "vec_id_b", F.round("sim", 6).alias("sim"))
 
 
@@ -367,13 +397,16 @@ def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k (the ANN scale path): sign-projection buckets from
+    md5-parity hyperplanes + exact cosine re-rank inside the probe's
+    bucket — DuckDB-oracled since the bucket function is SQL-expressible."""
     from hexspark.ops.ann import lsh_topk
 
     emb = _embeddings(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    out = lsh_topk(emb, probes, k=5, dim=64)
+    out = lsh_topk(emb, probes, k=5, n_planes=8, dim=64)
     return out.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
@@ -394,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bands": q_lsh_bands,
         "candidate_pairs": q_candidate_pairs,
         "match_edges": q_match_edges,
+        "cluster_match_edges": q_cluster_match_edges,
         "wide_block_scores": q_wide_block_scores,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -476,6 +510,24 @@ def oracle_sql() -> dict[str, str]:
             FROM cp JOIN f fa ON cp.doc_id_a = fa.doc_id JOIN f fb ON cp.doc_id_b = fb.doc_id
             WHERE {d('fa.h', 'fb.h')} <= 60
         """,
+        "cluster_match_edges": f"""
+            WITH RECURSIVE
+            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+            me AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE {d('a.h', 'b.h')} <= 50),
+            sym AS (SELECT doc_id_a AS n, doc_id_b AS m FROM me
+                    UNION SELECT doc_id_b, doc_id_a FROM me),
+            reach AS (
+              SELECT n, m FROM sym
+              UNION
+              SELECT reach.n, sym.m FROM reach JOIN sym ON reach.m = sym.n
+              WHERE sym.m <> reach.n
+            )
+            SELECT n AS doc_id, least(n, min(m))::BIGINT AS cluster_id
+            FROM reach GROUP BY n
+        """,
         "wide_block_scores": f"""
             WITH f AS (SELECT doc_id, md5(text) AS h, text FROM documents),
             bands AS (
@@ -539,10 +591,61 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         """,
         "embedding_neardup": """
-            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            WITH planes AS (
+              SELECT t.t AS t, p.p AS p, i.i AS i,
+                     CASE WHEN ('0x'||substr(md5(t.t||'_'||p.p||'_'||i.i),1,1))::INT % 2 = 1
+                          THEN 1.0 ELSE -1.0 END AS c
+              FROM (SELECT unnest(range(0,4)) AS t) t,
+                   (SELECT unnest(range(0,4)) AS p) p,
+                   (SELECT unnest(range(0,64)) AS i) i),
+            proj AS (
+              SELECT e.vec_id, pl.t, pl.p,
+                     sum(pl.c * e.embedding[(pl.i+1)::INT]::DOUBLE) AS dot
+              FROM embeddings e, planes pl GROUP BY 1, 2, 3),
+            buck AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+              FROM proj GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+              FROM buck a JOIN buck b
+                ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            s AS (
+              SELECT c.vec_id_a, c.vec_id_b,
+                     list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+              FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+                          JOIN embeddings eb ON eb.vec_id = c.vec_id_b)
+            SELECT vec_id_a, vec_id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.4
+        """,
+        "lsh_ann_topk": """
+            WITH planes AS (
+              SELECT p.p AS p, i.i AS i,
+                     CASE WHEN ('0x'||substr(md5('0_'||p.p||'_'||i.i),1,1))::INT % 2 = 1
+                          THEN 1.0 ELSE -1.0 END AS c
+              FROM (SELECT unnest(range(0,8)) AS p) p,
+                   (SELECT unnest(range(0,64)) AS i) i),
+            proj AS (
+              SELECT e.vec_id, pl.p,
+                     sum(pl.c * e.embedding[(pl.i+1)::INT]::DOUBLE) AS dot
+              FROM embeddings e, planes pl GROUP BY 1, 2),
+            buck AS (
+              SELECT vec_id,
+                     sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+              FROM proj GROUP BY 1),
+            pb AS (
+              SELECT b.vec_id AS probe_id, b.bucket, e.embedding AS pv
+              FROM buck b JOIN embeddings e USING (vec_id) WHERE b.vec_id < 10),
+            cand AS (
+              SELECT pb.probe_id, b.vec_id,
+                     list_cosine_similarity(pb.pv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+              FROM pb JOIN buck b ON b.bucket = pb.bucket AND b.vec_id <> pb.probe_id
+                      JOIN embeddings e ON e.vec_id = b.vec_id),
+            r AS (
+              SELECT probe_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM cand)
+            SELECT probe_id, vec_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
         """,
         "ann_topk": """
             WITH p AS (SELECT vec_id AS probe_id, embedding AS pv

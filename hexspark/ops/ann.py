@@ -15,11 +15,31 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+
+def md5_planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """±1 hyperplane components derived from md5 parity:
+    component(t, p, i) = +1 if the first hex digit of md5(f"{t}_{p}_{i}")
+    is odd else -1. Sign-random projections with ±1 entries are valid LSH
+    hyperplanes (Achlioptas-style database-friendly projections), and this
+    derivation is reproducible bit-for-bit in ANSI SQL
+    (('0x'||substr(md5(t||'_'||p||'_'||i),1,1))::INT % 2), so a DuckDB
+    oracle can mirror bucket assignment exactly — no RNG state to ship.
+    Returns (n_tables, n_planes, dim) float64."""
+    out = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for i in range(dim):
+                h = hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()
+                out[t, p, i] = 1.0 if int(h[0], 16) % 2 else -1.0
+    return out
 
 
 def cosine_sim(a_col, b_col):
@@ -69,7 +89,11 @@ def _bucket_udf(planes: np.ndarray):
     def bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        m = np.vstack(vecs.to_numpy())  # (n, dim) float32
+        # float64 dot products: each float32 value casts to double exactly,
+        # so the only cross-engine divergence vs the SQL oracle is summation
+        # order at ~1 ulp — a sign flip needs |dot| ~ 1e-13, never for real
+        # embeddings.
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
         signs = (m @ planes.T) > 0  # (n, h)
         weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
         return pd.Series((signs @ weights).astype(np.int64))
@@ -89,7 +113,7 @@ def _multi_bucket_udf(all_planes: np.ndarray):
     def buckets(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        m = np.vstack(vecs.to_numpy())  # (n, dim)
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
         outs = np.empty((len(m), n_tables), dtype=np.int64)
         for t in range(n_tables):
             outs[:, t] = (((m @ all_planes[t].T) > 0) @ weights).astype(np.int64)
@@ -105,7 +129,6 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
-    seed: int = 1234,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -134,14 +157,17 @@ def embedding_neardup_pairs(
             .select(a_id, b_id, "sim")
         )
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+    planes = md5_planes(n_tables, n_planes, dim)
     buckets = _multi_bucket_udf(planes)
     bucketed = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    # Dedup candidates on the id pair alone — a hash aggregate over two
+    # fixed-width longs (carrying the vectors through the dedup would force
+    # a SortAggregate on variable-width array buffers) — then re-attach one
+    # vector per side with equi-joins against the embeddings table.
     cand = (
         a.join(
             b,
@@ -149,12 +175,16 @@ def embedding_neardup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias(a_id), F.col("b.id").alias(b_id))
-        .agg(F.any_value(F.col("a.vec")).alias("_va"), F.any_value(F.col("b.vec")).alias("_vb"))
+        .select(F.col("a.id").alias(a_id), F.col("b.id").alias(b_id))
+        .distinct()
     )
+    va = embeddings.select(F.col(id_col).alias(a_id), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias(b_id), F.col(vec_col).alias("_vb"))
     sim = cosine_sim(F.col("_va"), F.col("_vb"))
     return (
-        cand.withColumn("sim", sim)
+        cand.join(va, a_id)
+        .join(vb, b_id)
+        .withColumn("sim", sim)
         .where(F.col("sim") >= F.lit(threshold))
         .select(a_id, b_id, "sim")
     )
@@ -166,14 +196,13 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
-    seed: int = 1234,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: sign-random-projection buckets + exact
     re-rank within the probe's bucket. Recall measured vs brute_force_topk
     in tests; at scale the equi-join on bucket_id replaces the full scan."""
-    planes = np.random.default_rng(seed).standard_normal((n_planes, dim)).astype(np.float32)
+    planes = md5_planes(1, n_planes, dim)[0]
     bucket = _bucket_udf(planes)
     emb_b = embeddings.withColumn("bucket", bucket(F.col(vec_col)))
     probes_b = probes.withColumn("bucket", bucket(F.col("probe_vec")))

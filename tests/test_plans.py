@@ -106,3 +106,16 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
     m = re.search(r"hashpartitioning\(text_md5", plan)
     assert m, "shuffle key is not the digest: " + plan[:1500]
+
+
+def test_embedding_neardup_dedup_is_hash_aggregate(spark):
+    """LSH candidate dedup must be a hash aggregate over the two long ids —
+    never a SortAggregate over array<float> vector buffers (vectors are
+    re-attached by equi-join after the dedup)."""
+    from hexspark.ops.ann import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs(emb, threshold=0.4, method="lsh",
+                                         n_planes=4, n_tables=4))
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "HashAggregate" in plan
