@@ -411,11 +411,16 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hexspark.ops.multimodal import extract_features, synthetic_media
+    """Multimodal decode round-trip, DuckDB-oracled: documents become real
+    binary containers (24-bit BMPs / PCM WAVs via mapInPandas), then
+    extract_features really parses the headers back. Every recovered field
+    is a pure function of (doc_id, length(text)), so the SQL oracle checks
+    the decode without touching binaries."""
+    from hexspark.ops.multimodal import extract_features, media_from_documents
 
-    media = synthetic_media(spark, n=32)
-    feats = extract_features(media, fake_decode=True)
-    return feats.select("media_id", "kind", "n_bytes")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    feats = extract_features(media_from_documents(docs))
+    return feats.select("media_id", "kind", "n_bytes", "width", "height", "duration_ms")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -692,6 +697,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
             FROM documents
+        """,
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                     len(text) AS L
+              FROM documents)
+            SELECT media_id, kind,
+                   (54 + (((8 + L % 32) * 3 + 3) // 4) * 4 * (4 + L % 16))::BIGINT AS n_bytes,
+                   (8 + L % 32)::INT AS width, (4 + L % 16)::INT AS height,
+                   0::BIGINT AS duration_ms
+            FROM m WHERE kind = 'image'
+            UNION ALL
+            SELECT media_id, kind,
+                   (44 + 2 * (64 + L % 1000))::BIGINT AS n_bytes,
+                   0::INT AS width, 0::INT AS height,
+                   ((2 * (64 + L % 1000)) * 1000 // 16000)::BIGINT AS duration_ms
+            FROM m WHERE kind = 'audio'
         """,
         "lang_marker_scores": """
             WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)

@@ -134,11 +134,43 @@ def test_multimodal_feature_plumbing(spark):
         assert r["n_bytes"] > 0
 
 
-def test_multimodal_decode_is_honestly_stubbed(spark):
-    media = multimodal.synthetic_media(spark, n=2)
+def test_multimodal_real_bmp_wav_decode(spark):
+    """BMP dims and WAV duration are really parsed out of the binary
+    payloads and must round-trip the metadata the encoders were given."""
+    media = multimodal.synthetic_media(spark, n=12)
+    decodable = media.where(media.kind != "video")
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(decodable).collect()
+    }
+    for m in decodable.collect():
+        got = rows[m["media_id"]]
+        if m["kind"] == "image":
+            assert (got["width"], got["height"]) == (m["width"], m["height"])
+        else:
+            assert got["duration_ms"] == m["duration_ms"]
+
+
+def test_multimodal_compressed_decode_is_honestly_stubbed(spark):
+    """Opaque (kind=video) payloads have no magic we can parse — real
+    decode must raise; fake_decode=True passes metadata through."""
+    media = multimodal.synthetic_media(spark, n=3)  # includes one video row
     with pytest.raises(Exception) as excinfo:
         multimodal.extract_features(media, fake_decode=False).collect()
-    assert "NotImplementedError" in str(excinfo.value) or "image decode" in str(excinfo.value)
+    assert "NotImplementedError" in str(excinfo.value) or "codec" in str(excinfo.value)
+    rows = multimodal.extract_features(media, fake_decode=True).collect()
+    assert len(rows) == 3
+
+
+def test_multimodal_decode_media_scalar():
+    import numpy as np
+
+    bmp = multimodal.encode_bmp(17, 9, np.arange(40, dtype=np.uint8))
+    assert multimodal.decode_media(bmp)[:2] == (17, 9)
+    wav = multimodal.encode_wav(8000, np.zeros(4000, dtype=np.int16))
+    assert multimodal.decode_media(wav)[2] == 500  # 4000 samples @ 8kHz
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\xff\xd8\xff\xe0 not actually decodable")
 
 
 def test_embedding_neardup_lsh_recall(spark):
