@@ -292,6 +292,10 @@ def _duck():
         _DUCK_CON = duckdb.connect()
         # one thread per connection: parallelism comes from Spark's workers
         _DUCK_CON.execute("SET threads TO 1")
+        # jw_arrow aligns output to input purely by row position — pin the
+        # ordering guarantee explicitly rather than relying on the default
+        # staying true for Arrow scans
+        _DUCK_CON.execute("SET preserve_insertion_order=true")
     return _DUCK_CON
 
 

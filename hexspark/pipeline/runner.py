@@ -72,6 +72,15 @@ class Runner:
             with open(self._manifest_path) as f:
                 m = json.load(f)
             stored = m.get("config")
+            if stored is None and m.get("completed"):
+                # a manifest with completed stages but no recorded config
+                # predates the drift guard — resuming it under current
+                # defaults could feed stale stage shapes downstream
+                raise ValueError(
+                    "workdir manifest records completed stages but no "
+                    "pipeline config; cannot prove stage outputs match the "
+                    "current configuration. Use a fresh workdir."
+                )
             if stored is not None and stored != self._cfg_dict():
                 changed = {
                     k: (stored.get(k), v)

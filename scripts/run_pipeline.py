@@ -33,11 +33,11 @@ def main() -> None:
     ap.add_argument("--alpha", type=float, default=0.75)
     args = ap.parse_args()
 
-    import os
-
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
-
+    # Under spark-submit the JVM is already up when this runs, so a local
+    # os.environ setdefault would never reach executor Python workers.
+    # Ship the glibc malloc tuning through executorEnv instead (see
+    # hexspark/session.py for the why); for the DRIVER-side python workers
+    # of local mode, set these in spark-env.sh / the submitting shell.
     spark = (
         SparkSession.builder.appName("hexspark-er-pipeline")
         .config("spark.sql.adaptive.enabled", "true")
@@ -45,6 +45,9 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

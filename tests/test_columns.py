@@ -184,3 +184,54 @@ def test_jw_arrow_kernels_differential():
     assert np.allclose(jw_duck, jw_np, atol=1e-12), (
         np.abs(jw_duck - jw_np).max()
     )
+
+
+def test_canon_keys_match_spark_expression_on_mixed_unicode(spark):
+    """kernels.canon_keys_utf8's byte-level filter must agree with the JVM
+    expression substring(regexp_replace(lower(s), '[^a-z0-9 ]', ''), 1, 48)
+    for every char whose lowercase stays outside ASCII (multi-byte UTF-8 is
+    dropped by both). The documented divergence is the handful of Unicode
+    chars that lowercase INTO ASCII — e.g. U+212A KELVIN SIGN → 'k',
+    U+0130 İ → 'i' — where the JVM keeps the mapped char and the byte
+    filter drops it; the ASCII assumption is stated in kernels.py."""
+    import numpy as np
+
+    from hexspark import kernels
+    from hexspark.pipeline.simhash import signatures
+
+    texts = [
+        "Hello, WORLD! 123",
+        "héllo wörld — ünïcode",
+        "中文文本 with ascii 42",
+        "  spaces   and\tTABS  ",
+        "ALL CAPS AND 0987654321 plus punctuation!!!",
+        "émoji 🎉 and ação ñandú",
+        "",
+        "...",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t, 1) for i, t in enumerate(texts)],
+        "conv_id string, doc_text string, n_turns int",
+    )
+    got = {
+        r["conv_id"]: r["canon"] for r in signatures(df).select("conv_id", "canon").collect()
+    }
+    expected = {
+        r["conv_id"]: r["e"]
+        for r in df.selectExpr(
+            "conv_id",
+            "substring(regexp_replace(lower(doc_text), '[^a-z0-9 ]', ''), 1, 48) AS e",
+        ).collect()
+    }
+    assert got == expected
+
+    # the known divergence: chars that lowercase into ASCII
+    kelvin = "Kelvin"  # KELVIN SIGN + 'elvin'
+    data = np.frombuffer(kelvin.encode(), dtype=np.uint8)
+    offs = np.array([0, len(data)], dtype=np.int64)
+    mat, lens = kernels.canon_keys_utf8(data, offs, 48)
+    byte_canon = bytes(mat[0][: lens[0]]).decode()
+    jvm_canon = spark.sql(
+        f"SELECT regexp_replace(lower('{kelvin}'), '[^a-z0-9 ]', '') AS e"
+    ).collect()[0]["e"]
+    assert byte_canon == "elvin" and jvm_canon == "kelvin"  # divergence is real & pinned

@@ -76,3 +76,23 @@ def test_metrics_accumulate_across_runs(spark, first_run):
         for r in metrics.groupBy("stage").agg(F.count("*").alias("n")).collect()
     }
     assert per_stage["edges"] >= 2 or per_stage["clusters"] >= 2
+
+
+def test_manifest_without_config_is_treated_as_drift(spark, first_run):
+    """A pre-drift-guard manifest (completed stages, no recorded config)
+    must refuse to resume — stage shapes can't be proven compatible."""
+    _, workdir, _, _ = first_run
+    manifest_path = os.path.join(workdir, "run_manifest.json")
+    with open(manifest_path) as f:
+        original = f.read()
+    try:
+        manifest = json.loads(original)
+        manifest.pop("config", None)
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+        runner = Runner(spark, workdir, PipelineConfig(max_dist=40))
+        with pytest.raises(ValueError, match="no\\s+pipeline config|cannot prove"):
+            runner._manifest()
+    finally:
+        with open(manifest_path, "w") as f:
+            f.write(original)
