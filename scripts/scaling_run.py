@@ -124,6 +124,12 @@ def run_level(cluster_url: str, cores: int, zpath: str, n_base: int,
         "--conf", f"spark.cores.max={cores}",
         "--conf", f"spark.executor.cores={executor_cores}",
         "--conf", "spark.executor.memory=10g",
+        # fixed pre-touched heap: on this firecracker VM, heap growth and
+        # uncommit re-faulting show up as multi-core kernel time (page
+        # faults are far costlier than bare metal); a production executor
+        # would set the same for long-running batch jobs
+        "--conf", "spark.executor.extraJavaOptions=-Xms8g -XX:+AlwaysPreTouch",
+        "--conf", "spark.driver.extraJavaOptions=-Xms4g -XX:+AlwaysPreTouch",
         "--conf", f"spark.executorEnv.MALLOC_MMAP_THRESHOLD_={1 << 30}",
         "--conf", f"spark.executorEnv.MALLOC_TRIM_THRESHOLD_={1 << 30}",
         "--conf", "spark.ui.enabled=false",
