@@ -162,6 +162,21 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+
+    # Full driver-contract sweep (NOT in the headline total, which keeps the
+    # round-1 query set so `value` stays comparable round-over-round): wall
+    # time of every queries() entry, so per-query regressions are mechanical
+    # to spot between BENCH_r{N}.json files.
+    driver_queries: dict[str, float] = {}
+    for name, fn in qs.items():
+        if name in timings:
+            driver_queries[name] = timings[name]
+            continue
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        driver_queries[name] = round(time.monotonic() - t0, 3)
+    extras["driver_queries_sec"] = driver_queries
+    extras["driver_queries_total_sec"] = round(sum(driver_queries.values()), 3)
     # Host-interference context: this sandbox VM shows bursty hypervisor
     # CPU steal and page-fault storms (system time) under load; readers
     # comparing rounds should weigh walls by these. steal_pct/sys_pct are
