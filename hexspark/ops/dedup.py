@@ -121,7 +121,12 @@ def minhash_pairs(
     # or re-shuffled. Oversize blocks (boilerplate docs agreeing on a
     # band) are salt-chained instead of dropped, preserving cluster
     # connectivity with O(size) pairs.
-    sig = mins.select("id", bands.alias("bhs"))
+    # the min-agg signature table feeds ~6 consumers (block sizes, banned
+    # masks, both self-join sides, both chain subtrees); persist it so the
+    # reduce-side aggregation runs once instead of per consumer — same role
+    # the pipeline runner's materialized signatures stage plays (see
+    # simhash_neardup_pairs below)
+    sig = mins.select("id", bands.alias("bhs")).persist()
     rows = sig.select("id", "bhs", F.posexplode("bhs").alias("band", "bv"))
     sizes = rows.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("block_size"))
     oversize = sizes.where(F.col("block_size") > max_block)

@@ -173,3 +173,56 @@ class Runner:
 
         self._run_stage(manifest, result, "clusters", build_clusters)
         return result
+
+    def run_incremental(self, new_transcripts: DataFrame) -> PipelineResult:
+        """Fold a NEW transcript batch into a completed run's stage tables
+        (see pipeline/incremental.py): fingerprint only the new batch,
+        block new-vs-all, merge clusters over the affected subgraph only.
+
+        Requires a completed prior run in this workdir; the config drift
+        guard applies (the merged clustering must not mix thresholds or
+        band geometry across batches). The signatures and clusters tables
+        are replaced atomically (tmp-dir swap / Iceberg createOrReplace —
+        both safe to read-while-replacing), the batch's edges are appended
+        to the edges table, and the manifest row counts are refreshed."""
+        from . import incremental
+
+        manifest = self._manifest()
+        for stage in ("signatures", "clusters"):
+            if not (manifest["completed"].get(stage) and self.io.exists(stage)):
+                raise ValueError(
+                    "incremental update requires a completed prior run; "
+                    f"stage '{stage}' is missing from {self.workdir}"
+                )
+        cfg = self.cfg
+        result = PipelineResult(run_id=manifest["run_id"])
+        timer = StageTimer()
+        res = incremental.incremental_update(
+            new_transcripts,
+            self.io.read("signatures"),
+            self.io.read("clusters"),
+            n_bands=cfg.n_bands,
+            max_block=cfg.max_block,
+            max_dist=cfg.max_dist,
+            alpha=cfg.alpha,
+            min_score=cfg.min_score,
+            cc_max_iter=cfg.cc_max_iter,
+        )
+        result.cc_rounds = res["cc_rounds"]
+        # edges first (computed against the still-intact prior tables),
+        # then the two replacements
+        self.io.append(res["edges"], "edges")
+        self.io.write(res["signatures"], "signatures")
+        self.io.write(res["clusters"], "clusters")
+        wall = timer.wall_ms()
+        for stage in ("signatures", "clusters", "edges"):
+            out = self.io.read(stage)
+            rows = out.count()
+            self.io.append(
+                partition_metrics(out, f"{stage}_incremental", manifest["run_id"], wall),
+                "stage_metrics",
+            )
+            self._mark(manifest, stage, rows, wall)
+            result.tables[stage] = out
+            result.stages_run.append(f"{stage}_incremental")
+        return result

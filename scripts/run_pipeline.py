@@ -5,6 +5,7 @@
         --input  <path or table of transcripts(conv_id,turn_idx,role,text,tool,ts)> \\
         --workdir <stage-table root (Iceberg namespace or path)> \\
         [--max-dist 20] [--n-bands 16] [--max-block 2000] [--min-score 0.0]
+        [--incremental]   # fold --input as a NEW batch into a completed run
 
 Master/executors come from spark-submit. Every stage materializes to the
 workdir (Iceberg when a catalog is configured — see pipeline/io.py — else
@@ -31,6 +32,12 @@ def main() -> None:
     ap.add_argument("--max-block", type=int, default=2000)
     ap.add_argument("--min-score", type=float, default=0.0)
     ap.add_argument("--alpha", type=float, default=0.75)
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="treat --input as a NEW batch and fold it into the workdir's "
+             "completed run (fingerprints only the batch, never re-scores "
+             "old-vs-old; see hexspark/pipeline/incremental.py)",
+    )
     args = ap.parse_args()
 
     # Under spark-submit the JVM is already up when this runs, so a local
@@ -67,7 +74,10 @@ def main() -> None:
         min_score=args.min_score,
     )
     runner = Runner(spark, args.workdir, cfg)
-    result = runner.run(transcripts)
+    result = (
+        runner.run_incremental(transcripts) if args.incremental
+        else runner.run(transcripts)
+    )
 
     out = {
         "run_id": result.run_id,

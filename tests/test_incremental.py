@@ -1,0 +1,186 @@
+"""Incremental ER correctness: folding a new batch into an existing
+clustering must reproduce the full-batch result (the equivalence contract in
+hexspark/pipeline/incremental.py), never generate old-old pairs, and keep
+mega-duplicate blocks connected across the batch boundary via the bridge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import fixtures
+from hexspark.pipeline import (
+    assemble,
+    blocking,
+    clustering,
+    incremental,
+    scoring,
+    simhash,
+)
+
+MAX_DIST = 40
+
+
+def _batch_clusters(spark, tr):
+    sigs = simhash.signatures(assemble.assemble_conversations(tr)).persist()
+    pairs, _ = blocking.candidate_pairs_wide(sigs)
+    edges = scoring.score_wide(pairs, max_dist=MAX_DIST)
+    cc, _ = clustering.connected_components(edges)
+    return sigs, clustering.with_singletons(cc, sigs.select("conv_id"))
+
+
+@pytest.fixture(scope="module")
+def split_data(spark):
+    tr = fixtures.transcripts_df(spark, n_base=200, seed=11, mutation_rate=0.01)
+    tr = tr.cache()
+    tr.count()
+    # deterministic 2:1 split BY CONVERSATION (batches must not split a
+    # conversation's turns)
+    old_ids = (
+        tr.select("conv_id").distinct()
+        .where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) != 0)
+        .cache()
+    )
+    tr_old = tr.join(old_ids, "conv_id")
+    tr_new = tr.join(old_ids, "conv_id", "left_anti")
+    return tr, tr_old, tr_new, old_ids
+
+
+def test_incremental_matches_full_batch(spark, split_data):
+    tr, tr_old, tr_new, _ = split_data
+    _, clusters_full = _batch_clusters(spark, tr)
+
+    sigs_old, clusters_old = _batch_clusters(spark, tr_old)
+    res = incremental.incremental_update(
+        tr_new, sigs_old, clusters_old, max_dist=MAX_DIST
+    )
+
+    want = {(r.conv_id, r.cluster_id) for r in clusters_full.collect()}
+    got = {(r.conv_id, r.cluster_id) for r in res["clusters"].collect()}
+    assert got == want
+    # rows, not just set: no duplicate assignments
+    assert res["clusters"].count() == len(got)
+
+
+def test_no_old_old_pairs(spark, split_data):
+    tr, tr_old, tr_new, old_ids = split_data
+    sigs_old = simhash.signatures(assemble.assemble_conversations(tr_old))
+    sigs_new = simhash.signatures(assemble.assemble_conversations(tr_new))
+    all_sigs = sigs_old.withColumn("is_new", F.lit(False)).unionByName(
+        sigs_new.withColumn("is_new", F.lit(True))
+    )
+    pairs, _ = incremental.incremental_candidate_pairs_wide(all_sigs)
+    both_old = (
+        pairs.join(old_ids.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a")
+        .join(old_ids.withColumnRenamed("conv_id", "conv_id_b"), "conv_id_b")
+    )
+    assert both_old.count() == 0
+    # and each emitted pair is emitted exactly once, canonical order
+    assert pairs.where(F.col("conv_id_a") >= F.col("conv_id_b")).count() == 0
+    assert (
+        pairs.groupBy("conv_id_a", "conv_id_b").count().where("count > 1").count()
+        == 0
+    )
+
+
+def test_incremental_pairs_cover_new_vs_all_candidates(spark, split_data):
+    """Every full-batch candidate pair touching a new conv must be produced
+    by the incremental path too (same pigeonhole guarantee)."""
+    tr, tr_old, tr_new, old_ids = split_data
+    sigs_full = simhash.signatures(assemble.assemble_conversations(tr))
+    full_pairs, _ = blocking.candidate_pairs(sigs_full)
+
+    sigs_old = simhash.signatures(assemble.assemble_conversations(tr_old))
+    sigs_new = simhash.signatures(assemble.assemble_conversations(tr_new))
+    all_sigs = sigs_old.withColumn("is_new", F.lit(False)).unionByName(
+        sigs_new.withColumn("is_new", F.lit(True))
+    )
+    inc_pairs, _ = incremental.incremental_candidate_pairs_wide(all_sigs)
+
+    full_touching_new = (
+        full_pairs.join(old_ids.withColumnRenamed("conv_id", "conv_id_a"),
+                        "conv_id_a", "left_semi")
+        .join(old_ids.withColumnRenamed("conv_id", "conv_id_b"),
+              "conv_id_b", "left_semi")
+    )
+    # full pairs minus old-old pairs == pairs touching >= 1 new conv
+    expect = full_pairs.exceptAll(
+        full_touching_new.select("conv_id_a", "conv_id_b")
+    )
+    missing = expect.exceptAll(inc_pairs.select("conv_id_a", "conv_id_b"))
+    assert missing.count() == 0
+
+
+def test_mega_block_bridged_across_batches(spark):
+    """60 byte-identical conversations split 40 old / 20 new, max_block=16:
+    every LSH block is oversize, so the batch run chains the old members and
+    the incremental run must bridge its new chain into the old cluster."""
+    rows = [(f"c{i:03d}", 0, "user", "the same boilerplate text repeated verbatim",
+             "none") for i in range(60)]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    tr_old = tr.where(F.col("conv_id") < "c040")
+    tr_new = tr.where(F.col("conv_id") >= "c040")
+
+    sigs_old = simhash.signatures(assemble.assemble_conversations(tr_old)).persist()
+    pairs_old, _ = blocking.candidate_pairs_wide(sigs_old, max_block=16)
+    edges_old = scoring.score_wide(pairs_old, max_dist=MAX_DIST)
+    cc, _ = clustering.connected_components(edges_old)
+    clusters_old = clustering.with_singletons(cc, sigs_old.select("conv_id"))
+    assert clusters_old.select("cluster_id").distinct().count() == 1
+
+    res = incremental.incremental_update(
+        tr_new, sigs_old, clusters_old, max_block=16, max_dist=MAX_DIST
+    )
+    final = res["clusters"]
+    assert final.count() == 60
+    assert final.select("cluster_id").distinct().count() == 1
+    assert final.agg(F.min("cluster_id")).collect()[0][0] == "c000"
+
+
+def test_runner_incremental_matches_full_batch_run(spark, split_data, tmp_path):
+    """Production surface: Runner.run on batch A, run_incremental on batch
+    B, final clusters table == Runner.run on A ∪ B."""
+    from hexspark.pipeline.runner import PipelineConfig, Runner
+
+    tr, tr_old, tr_new, _ = split_data
+    cfg = PipelineConfig(max_dist=MAX_DIST)
+
+    full = Runner(spark, str(tmp_path / "full"), cfg)
+    full_result = full.run(tr)
+    want = {
+        (r.conv_id, r.cluster_id)
+        for r in full_result.tables["clusters"].collect()
+    }
+
+    inc = Runner(spark, str(tmp_path / "inc"), cfg)
+    inc.run(tr_old)
+    result = inc.run_incremental(tr_new)
+    got = {(r.conv_id, r.cluster_id) for r in result.tables["clusters"].collect()}
+    assert got == want
+    assert result.tables["signatures"].count() == tr.select("conv_id").distinct().count()
+    # edges table accumulated both batches' edges, all within the gate
+    assert result.tables["edges"].where(F.col("hamming_dist") > MAX_DIST).count() == 0
+
+
+def test_runner_incremental_requires_completed_run(spark, split_data, tmp_path):
+    from hexspark.pipeline.runner import PipelineConfig, Runner
+
+    _, _, tr_new, _ = split_data
+    runner = Runner(spark, str(tmp_path / "fresh"), PipelineConfig(max_dist=MAX_DIST))
+    with pytest.raises(ValueError, match="completed prior run"):
+        runner.run_incremental(tr_new)
+
+
+def test_empty_new_batch_is_identity(spark, split_data):
+    tr, tr_old, _, _ = split_data
+    sigs_old, clusters_old = _batch_clusters(spark, tr_old)
+    empty = spark.createDataFrame(
+        [], fixtures.TRANSCRIPT_SCHEMA
+    )
+    res = incremental.incremental_update(empty, sigs_old, clusters_old)
+    want = {(r.conv_id, r.cluster_id) for r in clusters_old.collect()}
+    got = {(r.conv_id, r.cluster_id) for r in res["clusters"].collect()}
+    assert got == want
