@@ -205,6 +205,57 @@ def q_cluster_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 incremental clustering (pipeline/incremental.merge_clusters),
+    DuckDB-oracled: the cluster_match_edges edge set is split into an OLD
+    batch (neither endpoint in the new-node set, pmod(xxhash64(id),4)==0)
+    and a NEW batch (the rest); prior clusters come from connected
+    components over the old edges alone, then merge_clusters folds the new
+    edges in — re-running CC over only the affected prior clusters, with
+    untouched clusters passing through an anti-join. The final partition is
+    independent of the split, so the oracle is the same recursive min-label
+    CTE over the FULL edge set — a value-level check that the incremental
+    merge reproduces the batch clustering."""
+    from hexspark import columns as C
+    from hexspark.pipeline.clustering import connected_components, with_singletons
+    from hexspark.pipeline.incremental import merge_clusters
+
+    f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    a, b = f.alias("a"), f.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .where(C.hamming_hex(F.col("a.h"), F.col("b.h")) <= 50)
+        .select(
+            F.col("a.doc_id").alias("conv_id_a"), F.col("b.doc_id").alias("conv_id_b")
+        )
+        .persist()  # consumed by both the old-batch CC and the split
+    )
+    is_new = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(4)) == 0  # noqa: E731
+    old_edges = edges.where(~is_new("conv_id_a") & ~is_new("conv_id_b"))
+    new_edges = edges.where(is_new("conv_id_a") | is_new("conv_id_b"))
+
+    prior_cc, _ = connected_components(old_edges)
+    old_nodes = (
+        old_edges.select(F.col("conv_id_a").alias("conv_id"))
+        .union(old_edges.select(F.col("conv_id_b").alias("conv_id")))
+        .distinct()
+    )
+    prior = with_singletons(prior_cc, old_nodes)
+    new_ids = (
+        new_edges.select(F.col("conv_id_a").alias("conv_id"))
+        .union(new_edges.select(F.col("conv_id_b").alias("conv_id")))
+        .distinct()
+        .where(is_new("conv_id"))
+    )
+    merged, _ = merge_clusters(prior, new_edges, new_ids)
+    return merged.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_wide_block_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WIDE blocking+scoring plan shape (blocking.candidate_pairs_wide →
     scoring.score_wide) in SQL-expressible form: band rows carry the
@@ -433,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "match_edges": q_match_edges,
         "cluster_match_edges": q_cluster_match_edges,
+        "incremental_merge": q_incremental_merge,
         "wide_block_scores": q_wide_block_scores,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -516,6 +568,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE {d('fa.h', 'fb.h')} <= 60
         """,
         "cluster_match_edges": f"""
+            WITH RECURSIVE
+            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+            me AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE {d('a.h', 'b.h')} <= 50),
+            sym AS (SELECT doc_id_a AS n, doc_id_b AS m FROM me
+                    UNION SELECT doc_id_b, doc_id_a FROM me),
+            reach AS (
+              SELECT n, m FROM sym
+              UNION
+              SELECT reach.n, sym.m FROM reach JOIN sym ON reach.m = sym.n
+              WHERE sym.m <> reach.n
+            )
+            SELECT n AS doc_id, least(n, min(m))::BIGINT AS cluster_id
+            FROM reach GROUP BY n
+        """,
+        # the incremental merge must reproduce the batch clustering exactly
+        # (the final partition is independent of the old/new split), so its
+        # oracle is the SAME min-label propagation over the full edge set
+        "incremental_merge": f"""
             WITH RECURSIVE
             f AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
             me AS (

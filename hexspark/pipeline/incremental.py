@@ -171,17 +171,20 @@ def incremental_candidate_pairs_wide(
     rep_pairs = reps.withColumn("nb", F.lead(payload).over(wr))
 
     # bridge: first new representative of the block <-> minimum OLD member
-    # of the block. The old side arrives as a per-block min_by aggregate —
-    # oversize blocks are few by construction, so this aggregate is tiny
-    # and AQE broadcasts the join.
+    # of the block. The old side is picked with a row_number window (NOT a
+    # min_by aggregate — a struct-buffered aggregate would put a
+    # SortAggregate on the path; the window sorts only the oversize-block
+    # rows, which are few by construction, exactly like the chain windows).
+    wo = Window.partitionBy("band_id", "band_val").orderBy("conv_id")
     old_min = (
         bands.where(
             F.expr("(shiftright(banned, band_id) & 1) = 1") & ~F.col("is_new")
         )
         .join(F.broadcast(oversize.select("band_id", "band_val")),
               ["band_id", "band_val"])
-        .groupBy("band_id", "band_val")
-        .agg(F.min_by(payload, F.col("conv_id")).alias("nb"))
+        .withColumn("ro", F.row_number().over(wo))
+        .where(F.col("ro") == 1)
+        .select("band_id", "band_val", payload.alias("nb"))
     )
     first_new = reps.withColumn(
         "rb", F.row_number().over(Window.partitionBy("band_id", "band_val").orderBy("salt"))

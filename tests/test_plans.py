@@ -95,6 +95,29 @@ def test_hamming_gate_in_codegen_before_python(spark):
     assert py_pos < gate_pos, "gate does not precede the Python stage"
 
 
+def test_incremental_pairs_same_plan_discipline(spark):
+    """The incremental blocking path must keep the batch path's two scale
+    properties: pair dedup is a codegen filter (no pair-keyed exchange, no
+    SortAggregate), and scoring adds zero exchanges on top of it."""
+    from hexspark.pipeline import incremental, scoring
+
+    sigs = _sigs(spark)
+    flagged = sigs.withColumn(
+        "is_new", F.pmod(F.xxhash64("conv_id"), F.lit(3)) == 0
+    )
+    pairs, _ = incremental.incremental_candidate_pairs_wide(flagged)
+    plan = _plan(pairs)
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "hashpartitioning(conv_id_a" not in plan, (
+        "incremental pair stream is being shuffled for dedup"
+    )
+    n_pairs = plan.count("Exchange")
+    scored = scoring.score_wide(pairs, max_dist=40)
+    assert _plan(scored).count("Exchange") == n_pairs, (
+        "score_wide introduced a shuffle on top of the incremental pairs"
+    )
+
+
 def test_exact_dedup_shuffles_digest_not_text(spark):
     """exact_dedup's shuffle must carry the 16-byte digest, not the text:
     md5 is computed map-side (partial aggregate before the exchange)."""
