@@ -305,6 +305,11 @@ def incremental_update(
     prior_signatures / prior_clusters are the previous run's materialized
     stage outputs (runner stage tables "signatures" / "clusters").
 
+    Precondition: the new batch's conv_ids are DISJOINT from the prior
+    corpus (a reappearing conv_id would keep its stale signature/cluster).
+    Runner.run_incremental enforces this with a broadcast semi-join guard;
+    callers of this function directly are responsible for it themselves.
+
     Returns {"signatures": union signature table (the next run's prior),
              "new_signatures", "edges", "clusters", "block_stats",
              "cc_rounds"}.

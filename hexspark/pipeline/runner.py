@@ -194,6 +194,23 @@ class Runner:
                     "incremental update requires a completed prior run; "
                     f"stage '{stage}' is missing from {self.workdir}"
                 )
+        # incremental updates require batch-disjoint conv_ids: a conv_id
+        # that reappears (e.g. a conversation that gained turns) would keep
+        # its stale signature and cluster. Broadcast semi-join — one cheap
+        # pass over the prior signatures, keyed lookup per row.
+        new_ids = new_transcripts.select("conv_id").distinct()
+        overlap = (
+            self.io.read("signatures")
+            .join(F.broadcast(new_ids), "conv_id", "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"{overlap} conv_id(s) of the new batch already exist in the "
+                "prior run; incremental updates require batch-disjoint "
+                "conv_ids — re-run the batch pipeline for revised "
+                "conversations"
+            )
         cfg = self.cfg
         result = PipelineResult(run_id=manifest["run_id"])
         timer = StageTimer()

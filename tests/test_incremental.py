@@ -174,6 +174,18 @@ def test_runner_incremental_requires_completed_run(spark, split_data, tmp_path):
         runner.run_incremental(tr_new)
 
 
+def test_runner_incremental_rejects_overlapping_batch(spark, split_data, tmp_path):
+    """A conv_id that reappears in a later batch would keep its stale
+    signature — the runner must refuse instead of silently mis-clustering."""
+    from hexspark.pipeline.runner import PipelineConfig, Runner
+
+    _, tr_old, _, _ = split_data
+    runner = Runner(spark, str(tmp_path / "dup"), PipelineConfig(max_dist=MAX_DIST))
+    runner.run(tr_old)
+    with pytest.raises(ValueError, match="already exist in the prior run"):
+        runner.run_incremental(tr_old.limit(50))
+
+
 def test_empty_new_batch_is_identity(spark, split_data):
     tr, tr_old, _, _ = split_data
     sigs_old, clusters_old = _batch_clusters(spark, tr_old)
