@@ -284,7 +284,12 @@ def merge_clusters(
     merged_nodes = affected.select("conv_id").union(new_ids.select("conv_id"))
     merged = clustering.with_singletons(cc, merged_nodes)
     untouched = prior_clusters.join(touched, "cluster_id", "left_anti")
-    return untouched.unionByName(merged), rounds
+    # the left_anti join on cluster_id moves the key column to the front of
+    # the schema; pin the canonical (conv_id, cluster_id) order so the table
+    # is positionally identical to the batch path's (set ops like exceptAll
+    # compare by position, and stage-table readers must see one schema)
+    out = untouched.unionByName(merged).select("conv_id", "cluster_id")
+    return out, rounds
 
 
 def incremental_update(

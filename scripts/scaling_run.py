@@ -306,6 +306,31 @@ fixed per-stage latencies amortize as stage work grows, the
 production-scale trend (raw: build/scaling_pipebig{{8,32}}.json).
 """
 
+    inc_section = ""
+    inc_path = os.path.join(REPO, "build", "incremental_bench.json")
+    if os.path.exists(inc_path):
+        with open(inc_path) as f:
+            inc = json.load(f)
+        inc_section = f"""## Incremental update cost (daily-batch case)
+
+Folding a {100*inc['batch_fraction']:.0f}% batch ({inc['n_convs_batch']}
+convs) into a prior clustering of {inc['n_convs_total']} total convs via
+`Runner.run_incremental` (scripts/incremental_bench.py; the two paths'
+cluster tables verified identical before timing):
+
+| | sec |
+|---|---|
+| full pipeline re-run over the grown corpus | {inc['full_rerun_sec']} |
+| incremental batch fold | {inc['incremental_sec']} |
+
+**{inc['speedup_vs_full_rerun']:.1f}x cheaper than the daily full re-run**
+at this corpus/batch ratio; the incremental path never generates the
+old-old pair quadrant and re-clusters only affected components, so the
+gap widens linearly with corpus size at fixed batch size (raw:
+build/incremental_bench.json).
+
+"""
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — N vs 4N executor scaling evidence
@@ -345,7 +370,7 @@ per-core throughput at full occupancy. Any job measured at 32 busy cores
 on this box inherits that ceiling; a real 4-node cluster would not.
 
 {pipe_scaling}
-## Reference comparator
+{inc_section}## Reference comparator
 
 Reference single-core baseline (BASELINE.md): ~10.3M pairs/s for one bare
 C `hamming_distance` call at 64 hex chars on a 2020 i5. The distributed

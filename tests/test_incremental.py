@@ -61,6 +61,13 @@ def test_incremental_matches_full_batch(spark, split_data):
     assert got == want
     # rows, not just set: no duplicate assignments
     assert res["clusters"].count() == len(got)
+    # schema column ORDER must match the batch path too: set ops compare by
+    # position, and stage-table readers must see one schema across batch and
+    # incremental writes (regression: the left_anti join in merge_clusters
+    # used to move cluster_id to the front)
+    assert res["clusters"].columns == clusters_full.columns
+    assert res["clusters"].exceptAll(clusters_full).count() == 0
+    assert clusters_full.exceptAll(res["clusters"]).count() == 0
 
 
 def test_no_old_old_pairs(spark, split_data):
