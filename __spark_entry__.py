@@ -429,7 +429,10 @@ def _synthetic_pipeline(spark: SparkSession):
 
     tr = fixtures.transcripts_df(spark, n_base=40, seed=42, mutation_rate=0.01)
     convs = assemble.assemble_conversations(tr)
-    sigs = simhash.signatures(convs)
+    # persisted: blocking's skew probe + its several subtrees would each
+    # re-run the fingerprint stage otherwise (runner materializes this
+    # stage to a table; a cache serves the same role here)
+    sigs = simhash.signatures(convs).persist()
     pairs, _ = blocking.candidate_pairs(sigs)
     edges = scoring.match_edges(scoring.score_pairs(pairs, sigs), max_dist=40)
     cc, _ = clustering.connected_components(edges)

@@ -130,14 +130,24 @@ def minhash_pairs(
     rows = sig.select("id", "bhs", F.posexplode("bhs").alias("band", "bv"))
     sizes = rows.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("block_size"))
     oversize = sizes.where(F.col("block_size") > max_block)
-    banned = (
-        rows.join(oversize.select("band", "bv"), ["band", "bv"])
-        .groupBy("id")
-        .agg(F.sum(F.expr("shiftleft(1L, band)")).alias("banned"))
-    )
-    sig_b = sig.join(banned, "id", "left").withColumn(
-        "banned", F.coalesce(F.col("banned"), F.lit(0).cast("long"))
-    )
+    # Adaptive skew gate (same move as blocking.candidate_pairs_wide):
+    # probe for oversize blocks once at plan-build time over the persisted
+    # signature table (the probe also materializes the cache for every
+    # later consumer). When none exist — the common case — skip the
+    # banned-mask join and the chain branch entirely instead of running
+    # their exchanges and window sorts over zero rows on every execution.
+    has_oversize = not oversize.isEmpty()
+    if has_oversize:
+        banned = (
+            rows.join(oversize.select("band", "bv"), ["band", "bv"])
+            .groupBy("id")
+            .agg(F.sum(F.expr("shiftleft(1L, band)")).alias("banned"))
+        )
+        sig_b = sig.join(banned, "id", "left").withColumn(
+            "banned", F.coalesce(F.col("banned"), F.lit(0).cast("long"))
+        )
+    else:
+        sig_b = sig.withColumn("banned", F.lit(0).cast("long"))
     brows = sig_b.select(
         "id", "bhs", "banned", F.posexplode("bhs").alias("band", "bv")
     )
@@ -173,6 +183,9 @@ def minhash_pairs(
         .withColumn("eff", F.col("match").bitwiseAND(F.bitwise_not(F.col("banned_a"))))
         .where(F.col("eff").bitwiseAND(low_bits) == 0)
     )
+
+    if not has_oversize:
+        return _minhash_finish(normal.select("id_a", "id_b", "match"), b_cnt, band_rows)
 
     over = (
         brows.where(F.expr("(shiftright(banned, band) & 1) = 1"))
@@ -218,6 +231,10 @@ def minhash_pairs(
     out = normal.select("id_a", "id_b", "match").unionByName(
         chain.select("id_a", "id_b", "match")
     )
+    return _minhash_finish(out, b_cnt, band_rows)
+
+
+def _minhash_finish(out: DataFrame, b_cnt: int, band_rows: int) -> DataFrame:
     return (
         out.withColumn("n_shared", F.bit_count(F.col("match")).cast("long"))
         .drop("match")

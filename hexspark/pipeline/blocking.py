@@ -195,15 +195,31 @@ def candidate_pairs_wide(
     # represents >max_block near-identical docs); AQE picks a broadcast
     # join at any sane scale and falls back to a shuffle join otherwise.
     oversize = sizes.where(F.col("block_size") > max_block)
-    banned = (
-        bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
-        .groupBy("conv_id")
-        .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
-    )
-    sigs_b = (
-        sigs_c.join(banned, "conv_id", "left")
-        .withColumn("banned", F.coalesce(F.col("banned"), F.lit(0).cast("long")))
-    )
+    # Adaptive skew gate: detecting skew needs the block-size aggregation
+    # either way, so probe it ONCE at plan-build time. When no block is
+    # oversize (the common case at a sane max_block), the banned-mask join
+    # and the chain branch below would still schedule their exchanges,
+    # window sorts and union on every run just to process zero rows —
+    # measured ~1.2s of fixed stage overhead per call at sf0.1. Both
+    # production call sites (the runner's materialized signatures stage,
+    # simhash_neardup_pairs' persisted cache) make the probe one cheap
+    # scan; it is the same decide-at-runtime move AQE makes for skew
+    # joins, applied one level up.
+    has_oversize = not oversize.isEmpty()
+    if has_oversize:
+        banned = (
+            bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
+            .groupBy("conv_id")
+            .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
+        )
+        sigs_b = (
+            sigs_c.join(banned, "conv_id", "left")
+            .withColumn("banned", F.coalesce(F.col("banned"), F.lit(0).cast("long")))
+        )
+    else:
+        # no oversize blocks: every banned mask is zero; the bit-test
+        # filters below keep the exactly-once guarantee unchanged
+        sigs_b = sigs_c.withColumn("banned", F.lit(0).cast("long"))
 
     bands = sigs_b.select(
         "conv_id", "canon", "banned",
@@ -240,6 +256,14 @@ def candidate_pairs_wide(
         .where(F.col("eff").bitwiseAND(low_bits) == 0)
         .drop("eff", "band_id", "banned_a")
     )
+
+    out_cols = [
+        "conv_id_a", "conv_id_b", "canon_a", "canon_b",
+        *[f"c{i}_a" for i in range(N_CHUNKS)],
+        *[f"c{i}_b" for i in range(N_CHUNKS)],
+    ]
+    if not has_oversize:
+        return normal.select(*out_cols), block_stats
 
     # ---- chain branch: oversize blocks, salted path instead of drop -----
     # input is ONLY the band rows of oversize blocks (usually none/few);
@@ -290,11 +314,6 @@ def candidate_pairs_wide(
         .drop("match", "eff", "bmatch", "band_id", "banned_a", "banned_b")
     )
 
-    out_cols = [
-        "conv_id_a", "conv_id_b", "canon_a", "canon_b",
-        *[f"c{i}_a" for i in range(N_CHUNKS)],
-        *[f"c{i}_b" for i in range(N_CHUNKS)],
-    ]
     pairs = normal.select(*out_cols).unionByName(chain.select(*out_cols))
     return pairs, block_stats
 

@@ -83,15 +83,23 @@ def incremental_candidate_pairs_wide(
     )
     block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
     oversize = sizes.where(F.col("block_size") > max_block)
-    banned = (
-        bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
-        .groupBy("conv_id")
-        .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
-    )
-    sigs_b = (
-        sigs_c.join(banned, "conv_id", "left")
-        .withColumn("banned", F.coalesce(F.col("banned"), F.lit(0).cast("long")))
-    )
+    # Adaptive skew gate, same as blocking.candidate_pairs_wide: probe for
+    # oversize blocks once at plan-build time; when none exist skip the
+    # banned-mask join and the whole chain/bridge branch (three window
+    # sorts + union) instead of scheduling them over zero rows every run.
+    has_oversize = not oversize.isEmpty()
+    if has_oversize:
+        banned = (
+            bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
+            .groupBy("conv_id")
+            .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
+        )
+        sigs_b = (
+            sigs_c.join(banned, "conv_id", "left")
+            .withColumn("banned", F.coalesce(F.col("banned"), F.lit(0).cast("long")))
+        )
+    else:
+        sigs_b = sigs_c.withColumn("banned", F.lit(0).cast("long"))
 
     bands = sigs_b.select(
         "conv_id", "canon", "banned", "is_new",
@@ -139,6 +147,14 @@ def incremental_candidate_pairs_wide(
         .where(F.col("eff").bitwiseAND(low_bits) == 0)
         .drop("eff", "band_id", "banned_a")
     )
+
+    out_cols = [
+        "conv_id_a", "conv_id_b", "canon_a", "canon_b",
+        *[f"c{i}_a" for i in range(N_CHUNKS)],
+        *[f"c{i}_b" for i in range(N_CHUNKS)],
+    ]
+    if not has_oversize:
+        return normal.select(*out_cols), block_stats
 
     # ---- chain branch: oversize blocks — chain new members + one bridge -
     over = (
@@ -228,11 +244,6 @@ def incremental_candidate_pairs_wide(
         .drop("match", "eff", "bmatch", "band_id", "banned_a")
     )
 
-    out_cols = [
-        "conv_id_a", "conv_id_b", "canon_a", "canon_b",
-        *[f"c{i}_a" for i in range(N_CHUNKS)],
-        *[f"c{i}_b" for i in range(N_CHUNKS)],
-    ]
     pairs = normal.select(*out_cols).unionByName(chain.select(*out_cols))
     return pairs, block_stats
 
