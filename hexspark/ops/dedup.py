@@ -129,14 +129,16 @@ def minhash_pairs(
     sig = mins.select("id", bands.alias("bhs")).persist()
     rows = sig.select("id", "bhs", F.posexplode("bhs").alias("band", "bv"))
     sizes = rows.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("block_size"))
-    oversize = sizes.where(F.col("block_size") > max_block)
     # Adaptive skew gate (same move as blocking.candidate_pairs_wide):
     # probe for oversize blocks once at plan-build time over the persisted
     # signature table (the probe also materializes the cache for every
     # later consumer). When none exist — the common case — skip the
     # banned-mask join and the chain branch entirely instead of running
     # their exchanges and window sorts over zero rows on every execution.
-    has_oversize = not oversize.isEmpty()
+    # `oversize` itself is persisted (tiny) so the skewed case pays the
+    # sizes aggregation once across probe / banned / chain consumers.
+    oversize = sizes.where(F.col("block_size") > max_block).persist()
+    has_oversize = oversize.count() > 0
     if has_oversize:
         banned = (
             rows.join(oversize.select("band", "bv"), ["band", "bv"])

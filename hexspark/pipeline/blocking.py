@@ -194,7 +194,6 @@ def candidate_pairs_wide(
     # is oversize. The oversize list is small by construction (each entry
     # represents >max_block near-identical docs); AQE picks a broadcast
     # join at any sane scale and falls back to a shuffle join otherwise.
-    oversize = sizes.where(F.col("block_size") > max_block)
     # Adaptive skew gate: detecting skew needs the block-size aggregation
     # either way, so probe it ONCE at plan-build time. When no block is
     # oversize (the common case at a sane max_block), the banned-mask join
@@ -204,8 +203,12 @@ def candidate_pairs_wide(
     # production call sites (the runner's materialized signatures stage,
     # simhash_neardup_pairs' persisted cache) make the probe one cheap
     # scan; it is the same decide-at-runtime move AQE makes for skew
-    # joins, applied one level up.
-    has_oversize = not oversize.isEmpty()
+    # joins, applied one level up. `oversize` is persisted (tiny by
+    # construction: one row per >max_block block) so the skewed case pays
+    # the full-pass sizes aggregation once, not once per consumer (probe,
+    # banned-mask build, chain-branch broadcast).
+    oversize = sizes.where(F.col("block_size") > max_block).persist()
+    has_oversize = oversize.count() > 0
     if has_oversize:
         banned = (
             bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])

@@ -82,12 +82,14 @@ def incremental_candidate_pairs_wide(
         F.count(F.lit(1)).alias("block_size")
     )
     block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
-    oversize = sizes.where(F.col("block_size") > max_block)
     # Adaptive skew gate, same as blocking.candidate_pairs_wide: probe for
     # oversize blocks once at plan-build time; when none exist skip the
     # banned-mask join and the whole chain/bridge branch (three window
     # sorts + union) instead of scheduling them over zero rows every run.
-    has_oversize = not oversize.isEmpty()
+    # Persisted so the skewed case pays the sizes aggregation once across
+    # its consumers (probe, banned-mask build, chain + bridge broadcasts).
+    oversize = sizes.where(F.col("block_size") > max_block).persist()
+    has_oversize = oversize.count() > 0
     if has_oversize:
         banned = (
             bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
