@@ -7,9 +7,10 @@ Why this algorithm at 100 TB: each round is one groupBy + one join — no
 driver-side graph, no per-node Python — and converges in O(log^2 n) rounds
 (in practice <10 for duplicate-cluster graphs, whose components are tiny).
 Each round's result is localCheckpoint()ed to cut lineage so the loop's
-plan doesn't grow; convergence is detected with an order-insensitive
-(count, hash-sum) checksum instead of an exceptAll anti-join, which keeps
-the per-round overhead to one cheap aggregate.
+plan doesn't grow; convergence is detected with an exact star-forest test
+(no root appears as a child — see _is_star_forest) on the checkpointed
+rounds, which terminates the loop on the round that REACHES the answer
+instead of one round later like a fixpoint comparison would.
 
 Node ids are the string conv_ids; "min" is lexicographic min, deterministic
 and collision-free at any scale (no 64-bit hash-collision risk at 10^12
@@ -55,16 +56,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        # decimal accumulator: sum of 2^63-scale hashes cannot overflow a
-        # 38-digit decimal below ~10^19 rows (ANSI mode rejects long sums)
-        F.coalesce(
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Exact convergence test. After any round, every edge points child→root
+    with root < child (small-star orients to the minimum). The state is
+    stable under further rounds iff it is a star forest: no root is itself
+    some other edge's child. Since every edge points to the strictly
+    smaller endpoint, a star's root is the minimum of its star, and a star
+    that is a whole component is rooted at the component minimum — i.e.
+    star forest ⟺ converged min-rooted answer. Testing this directly saves
+    the extra confirmation round a fixpoint checksum needs (one full
+    star+checkpoint pass per CC call)."""
+    roots_as_children = edges.join(
+        edges.select(F.col("u").alias("v")), "v", "left_semi"
+    )
+    return roots_as_children.isEmpty()
 
 
 def connected_components(
@@ -78,20 +83,20 @@ def connected_components(
 
     Returns (clusters, rounds_used).
     """
+    # no input distinct: duplicate edges cannot change any round's output
+    # (min-aggregations are idempotent and each round ends in its own
+    # distinct), so deduplicating here would be a pure extra shuffle of the
+    # largest edge set the loop ever sees.
     cur = (
         edges.select(F.col("conv_id_a").alias("u"), F.col("conv_id_b").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sum: tuple[int, int] | None = None
     rounds = 0
     for rounds in range(1, max_iter + 1):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        sig = _checksum(cur)
-        if sig == prev_sum:
+        if _is_star_forest(cur):
             break
-        prev_sum = sig
     # converged state: every edge is (node, root); roots themselves appear
     # only on the right side → add (root, root) rows.
     clusters = cur.select(
