@@ -440,6 +440,17 @@ def _synthetic_pipeline(spark: SparkSession):
     return sigs, pairs, edges, clusters
 
 
+def q_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash twin (fingerprint semantics, B3 family):
+    md5-based 256-bit SimHash over documents, pure Catalyst expressions,
+    mirrored bit-for-bit by the DuckDB oracle. The production pipeline
+    keeps its faster Arrow kernel (pipeline/simhash.py); this pins the
+    tokenize → per-token hash → ±1 bit votes → sign semantics hash-green."""
+    from hexspark.ops.text import simhash_sql
+
+    return simhash_sql(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
 def q_pipeline_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs, _, _, _ = _synthetic_pipeline(spark)
     return sigs.select("conv_id", "sig_hex", "n_turns", "n_chars")
@@ -499,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_marker_scores": q_lang_marker_scores,
+        "simhash_sql": q_simhash_sql,
         "pipeline_signatures": q_pipeline_signatures,
         "pipeline_clusters": q_pipeline_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -791,6 +803,32 @@ def oracle_sql() -> dict[str, str]:
                    0::INT AS width, 0::INT AS height,
                    ((2 * (64 + L % 1000)) * 1000 // 16000)::BIGINT AS duration_ms
             FROM m WHERE kind = 'audio'
+        """,
+        "simhash_sql": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, t.tok AS tok
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            hx AS (
+              SELECT doc_id, md5(tok) || md5(tok || '#1') AS hx FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, g.b AS b,
+                     SUM(CASE WHEN (('0x' || substr(hx, (g.b // 4) + 1, 1))::INT
+                                    >> (3 - (g.b % 4))) & 1 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM hx, generate_series(0, 255) AS g(b)
+              GROUP BY doc_id, g.b
+            ),
+            nibbles AS (
+              SELECT doc_id, b // 4 AS n,
+                     SUM(CASE WHEN vote >= 0 THEN (1 << (3 - (b % 4))) ELSE 0 END) AS nv
+              FROM votes GROUP BY doc_id, b // 4
+            )
+            SELECT doc_id, string_agg(printf('%x', nv::INT), '' ORDER BY n) AS sig_hex
+            FROM nibbles GROUP BY doc_id
         """,
         "lang_marker_scores": """
             WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)

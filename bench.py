@@ -103,6 +103,26 @@ def main() -> None:
     for df in (warm[0],):
         df.unpersist()
     sigs, n_sigs, n_pairs, n_edges, n_clusters, rounds = timed("er_pipeline", run_pipeline)
+
+    # fused production plan (extra metric, NOT in the headline total so
+    # `value` stays comparable round-over-round): one action chain, no
+    # per-stage persists — pairs stream from the band join through the
+    # codegen gate into the Arrow scorer and the CC checkpoint
+    def run_fused():
+        fsigs = simhash.signatures(assemble.assemble_conversations(tr)).persist()
+        fpairs, _ = blocking.candidate_pairs_wide(fsigs)
+        fedges = scoring.score_wide(fpairs, max_dist=40)
+        fcc, _ = clustering.connected_components(fedges)
+        n = clustering.with_singletons(fcc, fsigs.select("conv_id")).count()
+        fsigs.unpersist()
+        return n
+
+    t0 = time.monotonic()
+    run_fused()
+    extras["er_pipeline_fused_sec"] = round(time.monotonic() - t0, 3)
+    extras["er_fused_convs_per_sec"] = round(
+        n_sigs / extras["er_pipeline_fused_sec"], 1
+    )
     extras["er_n_convs"] = n_sigs
     extras["er_n_candidate_pairs"] = n_pairs
     extras["er_n_edges"] = n_edges

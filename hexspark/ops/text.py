@@ -74,3 +74,94 @@ def _marker_counter(toks, markers):
 def lang_scores(text_col):
     toks = F.split(F.lower(text_col), " ")
     return {lang: _marker_counter(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible SimHash (oracle-checkable twin of the pipeline fingerprint)
+# ---------------------------------------------------------------------------
+
+def simhash_sql(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """256-bit SimHash computed ENTIRELY in Catalyst expressions, with a
+    hash function (md5) every SQL engine can mirror — the oracle-checkable
+    twin of the pipeline's Arrow fingerprint kernel
+    (pipeline/simhash.py), pinning the fingerprint *semantics*
+    (tokenize → per-token 256-bit hash → ±1 bit votes → sign) against an
+    independent engine. The production kernel keeps its faster custom
+    hash; this twin exists so the fingerprint stage family has a
+    hash-green driver oracle, not just pytest pins.
+
+    Definition (deterministic, engine-neutral):
+      tokens  = distinct non-empty runs of [a-z0-9] from lower(text)
+      hash(t) = md5(t) || md5(t || '#1')           (64 hex chars, 256 bits)
+      vote(b) = sum over tokens of (bit b ? +1 : -1)
+      sig bit b = 1 iff vote(b) >= 0
+    Docs with no tokens produce no output row (both engines drop them
+    identically). Output: (id, sig_hex), 64 lowercase hex chars.
+
+    Plan shape: explode to (doc, token) → distinct → explode 256 bit
+    positions → partial-aggregated groupBy — 256 rows per (doc, token),
+    all fixed-width ints through both shuffles, no UDF anywhere. For
+    production fingerprinting use pipeline/simhash.py (one Arrow pass, no
+    explode); this operator's contract is oracle parity, not throughput.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("tok"),
+        )
+    )
+    hx = toks.select(
+        "id",
+        F.concat(
+            F.md5(F.col("tok").cast("binary")),
+            F.md5(F.concat(F.col("tok"), F.lit("#1")).cast("binary")),
+        ).alias("hx"),
+    )
+    # one row per (doc, token, bit): vote = +1/-1 from the bit of the hex
+    # nibble at position b/4 (bit 0 = MSB of the first nibble). expr form:
+    # the Python shiftright/shiftleft helpers take only literal ints.
+    bit = F.expr(
+        "shiftright(cast(conv(substring(hx, cast(b / 4 as int) + 1, 1), 16, 10)"
+        " as int), cast(3 - b % 4 as int)) & 1"
+    )
+    votes = (
+        hx.select("id", F.explode(F.sequence(F.lit(0), F.lit(255))).alias("b"), "hx")
+        .select("id", "b", F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v"))
+        .groupBy("id", "b")
+        .agg(F.sum("v").alias("vote"))
+    )
+    # reassemble: nibble value from its 4 bit votes, hex char per nibble,
+    # string via ordered collect — 64 rows per doc at this point
+    nibbles = (
+        votes.groupBy("id", (F.col("b") / 4).cast("int").alias("n"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") >= 0,
+                    F.expr("shiftleft(1, cast(3 - b % 4 as int))"),
+                ).otherwise(F.lit(0))
+            ).alias("nv")
+        )
+    )
+    sig = (
+        nibbles.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("n"), F.col("nv")))
+                    ),
+                    lambda s: F.lower(F.conv(s["nv"].cast("string"), 10, 16)),
+                ),
+            ).alias("sig_hex")
+        )
+    )
+    return sig
