@@ -240,3 +240,50 @@ def test_minhash_oversize_block_salt_chain(spark):
             parent[max(ra, rb)] = min(ra, rb)
     assert len({find(i) for i in range(60)}) == 1
     pairs.unpersist()
+
+
+def test_simhash_sql_matches_python_reference(spark):
+    """ops.text.simhash_sql (the oracle-checkable Catalyst SimHash twin)
+    must reproduce an independent pure-Python implementation of its
+    declared definition: distinct [a-z0-9] tokens of lower(text), token
+    hash = md5(t) || md5(t + '#1'), bit votes +/-1, sig bit = vote >= 0."""
+    import hashlib
+    import re
+
+    from hexspark.ops.text import simhash_sql
+
+    rows = [
+        (1, "The quick brown fox JUMPS over the lazy dog 42 times"),
+        (2, "the quick brown fox jumps over the lazy dog 42 times"),  # same tokens
+        (3, "completely different content with unique words here"),
+        (4, "punctuation!!! and---separators...should (not) matter 42"),
+        (5, "x"),
+    ]
+
+    def ref_sig(text: str) -> str:
+        toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
+        votes = [0] * 256
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest() + hashlib.md5(
+                (t + "#1").encode()
+            ).hexdigest()
+            for b in range(256):
+                nib = int(hx[b // 4], 16)
+                bit = (nib >> (3 - b % 4)) & 1
+                votes[b] += 1 if bit else -1
+        out = []
+        for n in range(64):
+            nv = 0
+            for i in range(4):
+                if votes[n * 4 + i] >= 0:
+                    nv |= 1 << (3 - i)
+            out.append(format(nv, "x"))
+        return "".join(out)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.sig_hex for r in simhash_sql(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for doc_id, text in rows:
+        assert got[doc_id] == ref_sig(text), doc_id
+    assert got[1] == got[2]  # case/tokenization-invariant
+    assert got[1] != got[3]
