@@ -440,6 +440,35 @@ def _synthetic_pipeline(spark: SparkSession):
     return sigs, pairs, edges, clusters
 
 
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast-dimension join + window top-k over the fact
+    table (SURVEY §2.4 joins/windows evidence on the driver's TPC-H-ish
+    tables): top-2 orders by price per BUILDING-segment customer, with the
+    nation name attached. Plan shape for 100 TB: orders is the large fact
+    scanned once; customer and nation are explicit broadcasts (no shuffle
+    of the fact for either join); the only exchange is the window's
+    hash-partition on custkey. Ties broken by orderkey so the result is
+    deterministic for the value-hash compare."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select(
+            "o_custkey", "c_name", "n_name", "o_orderkey", "o_totalprice", "rank"
+        )
+    )
+
+
 def q_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable SimHash twin (fingerprint semantics, B3 family):
     md5-based 256-bit SimHash over documents, pure Catalyst expressions,
@@ -510,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_marker_scores": q_lang_marker_scores,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "simhash_sql": q_simhash_sql,
         "pipeline_signatures": q_pipeline_signatures,
         "pipeline_clusters": q_pipeline_clusters,
@@ -803,6 +833,22 @@ def oracle_sql() -> dict[str, str]:
                    0::INT AS width, 0::INT AS height,
                    ((2 * (64 + L % 1000)) * 1000 // 16000)::BIGINT AS duration_ms
             FROM m WHERE kind = 'audio'
+        """,
+        "top_orders_per_customer": """
+            WITH ranked AS (
+              SELECT o.o_custkey, c.c_name, n.n_name, o.o_orderkey,
+                     o.o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+                     ) AS rank
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE c.c_mktsegment = 'BUILDING'
+            )
+            SELECT o_custkey, c_name, n_name, o_orderkey, o_totalprice, rank
+            FROM ranked WHERE rank <= 2
         """,
         "simhash_sql": """
             WITH toks AS (

@@ -142,3 +142,22 @@ def test_embedding_neardup_dedup_is_hash_aggregate(spark):
                                          n_planes=4, n_tables=4))
     assert "SortAggregate" not in plan, plan[:2000]
     assert "HashAggregate" in plan
+
+
+def test_top_orders_plan_broadcasts_both_dims(spark):
+    """The multi-way dim join must broadcast customer and nation (the fact
+    table is never shuffled for a join); the only hash-partition exchange
+    belongs to the window on custkey."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["top_orders_per_customer"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # formatted explain lists each operator in the tree AND the details
+    # section; count the numbered details headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # exactly one exchange in the whole plan: the window's hash-partition
+    # on o_custkey (the fact is never shuffled for a join)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan[:3000]
+    assert "hashpartitioning(o_custkey" in plan, plan[:3000]
