@@ -440,6 +440,36 @@ def _synthetic_pipeline(spark: SparkSession):
     return sigs, pairs, edges, clusters
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (the batch analogue of
+    a session window): a new session starts when a user's inter-event gap
+    exceeds 30 minutes. Two windows over one hash-partition on user_id —
+    lag() to flag session starts, then a running sum to number sessions —
+    followed by one aggregate; at 100 TB this is a single exchange keyed on
+    user_id (sessions never span users) plus per-partition sorts."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # epoch-microsecond longs: exact cross-engine compare, no timestamp
+        # formatting ambiguity in the value-hash
+        # ts is TIMESTAMP_NTZ; session tz is pinned to UTC so the cast is
+        # the identity wall-clock -> epoch mapping DuckDB's epoch_us uses
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("end_us"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way broadcast-dimension join + window top-k over the fact
     table (SURVEY §2.4 joins/windows evidence on the driver's TPC-H-ish
@@ -539,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_marker_scores": q_lang_marker_scores,
+        "event_sessions": q_event_sessions,
         "top_orders_per_customer": q_top_orders_per_customer,
         "simhash_sql": q_simhash_sql,
         "pipeline_signatures": q_pipeline_signatures,
@@ -833,6 +864,31 @@ def oracle_sql() -> dict[str, str]:
                    0::INT AS width, 0::INT AS height,
                    ((2 * (64 + L % 1000)) * 1000 // 16000)::BIGINT AS duration_ms
             FROM m WHERE kind = 'audio'
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   COUNT(*)::BIGINT AS n_events,
+                   epoch_us(MIN(ts))::BIGINT AS start_us,
+                   epoch_us(MAX(ts))::BIGINT AS end_us,
+                   round(SUM(value), 4) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq
         """,
         "top_orders_per_customer": """
             WITH ranked AS (
