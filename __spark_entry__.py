@@ -6,11 +6,13 @@ entry(spark)  : flagship query — SimHash near-dup detection + transitive
 queries()     : one entry per implemented operator from SURVEY.md §2 and the
                 training-data ops; each callable (spark, sf_dir) → DataFrame.
 oracle_sql()  : DuckDB-equivalent ANSI SQL for every SQL-expressible query.
-                Non-SQL-expressible ops (SimHash pipeline stages, LSH-ANN,
-                multimodal plumbing) intentionally have no oracle → the
-                driver records the weaker rows-only check; their semantics
-                are pinned by tests/ instead (union-find oracle, recall vs
-                brute force, scalar JW oracle).
+                The only rows-only entries are the two pipeline stages
+                built on the custom-hash Arrow SimHash kernel
+                (pipeline_signatures / pipeline_clusters); their semantics
+                are pinned by the oracled simhash_sql twin (md5-vote
+                SimHash, bit-identical DuckDB mirror), the oracled
+                cluster_match_edges recursive-CTE clustering, and the
+                pytest union-find / locality / determinism oracles.
 """
 
 from __future__ import annotations

@@ -342,6 +342,34 @@ signature table cached. Measuring the pipeline the way production runs it
 (raw: build/scaling_pipefused{{8,32}}.json)
 """
 
+    if os.path.exists(os.path.join(REPO, "build", "scaling_cap32.json")):
+        cap = load("cap", 32)
+        pb32f = load("pipebig", 32)
+        pf32 = load("pipefused", 32)
+        pipe_scaling += f"""
+### Scaling in data (fused plan, fixed 4x8-core cluster)
+
+Holding the cluster fixed and growing the input: fixed costs (CC
+checkpoint rounds, skew probe, scheduling) amortize from 4x to 16x; at
+32x the cached input plus shuffle working set exceeds this box's 4x10g
+executor storage budget and throughput drops on memory pressure (kernel
+sys time {cap['interference']['pipeline_fused']['sys_pct']:.0f}% during
+the pass, recorded in the artifact) — the single-box capacity ceiling.
+That is the axis where a real deployment adds executors, which is
+exactly the N -> 4N scale-out already evidenced above; still, the box
+pushes {cap['n_convs']:,} conversations ({cap['n_turns']:,} turns)
+through the full fingerprint -> block -> score -> cluster plan in
+{cap['pipeline_fused_sec']}s.
+
+| input | convs | turns | fused wall s | convs/s |
+|---|---|---|---|---|
+| 4x | {pb32f['n_convs']:,} | {pb32f['n_turns']:,} | {pb32f['pipeline_fused_sec']} | {pb32f['pipeline_fused_convs_per_sec']:,.0f} |
+| 16x | {pf32['n_convs']:,} | {pf32['n_turns']:,} | {pf32['pipeline_fused_sec']} | {pf32['pipeline_fused_convs_per_sec']:,.0f} |
+| 32x | {cap['n_convs']:,} | {cap['n_turns']:,} | {cap['pipeline_fused_sec']} | {cap['pipeline_fused_convs_per_sec']:,.0f} |
+
+(raw: build/scaling_cap32.json)
+"""
+
     inc_section = ""
     inc_path = os.path.join(REPO, "build", "incremental_bench.json")
     if os.path.exists(inc_path):
