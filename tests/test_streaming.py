@@ -1,0 +1,96 @@
+"""Streaming ingest: a file-source stream of transcript parquet files folds
+micro-batches into the clustering through the SAME Runner surface as batch —
+so the final cluster table must be identical to one full batch run over
+everything ever streamed, and crash-replayed epochs must be no-ops."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import fixtures
+from hexspark.pipeline import assemble, blocking, clustering, scoring, simhash
+from hexspark.pipeline.runner import PipelineConfig
+from hexspark.streaming import fold_transcript_stream
+from hexspark.streaming.ingest import _load_fold_state
+
+MAX_DIST = 40
+CFG = PipelineConfig(max_dist=MAX_DIST)
+
+
+def _full_batch_clusters(spark, tr):
+    sigs = simhash.signatures(assemble.assemble_conversations(tr)).persist()
+    pairs, _ = blocking.candidate_pairs_wide(sigs)
+    edges = scoring.score_wide(pairs, max_dist=MAX_DIST)
+    cc, _ = clustering.connected_components(edges)
+    return clustering.with_singletons(cc, sigs.select("conv_id"))
+
+
+def _drain(spark, src, workdir):
+    q = fold_transcript_stream(spark, src, workdir, config=CFG)
+    q.awaitTermination()
+
+
+def test_stream_folds_match_full_batch(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    workdir = str(tmp_path / "workdir")
+    os.makedirs(src)
+
+    tr = fixtures.transcripts_df(spark, n_base=120, seed=7, mutation_rate=0.01)
+    tr = tr.cache()
+    # batch-disjoint file split BY CONVERSATION (same constraint as the
+    # incremental path: a conversation's turns never span batches)
+    first_ids = (
+        tr.select("conv_id").distinct()
+        .where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) < 2)
+    )
+    tr_a = tr.join(first_ids, "conv_id", "left_semi")
+    tr_b = tr.join(first_ids, "conv_id", "left_anti")
+
+    # file 1 arrives -> first drain bootstraps the full pipeline
+    tr_a.coalesce(1).write.mode("append").parquet(src)
+    _drain(spark, src, workdir)
+    manifest = json.load(open(os.path.join(workdir, "run_manifest.json")))
+    assert manifest["completed"].get("clusters")
+    n_a = tr_a.select("conv_id").distinct().count()
+    assert manifest["completed"]["clusters"]["rows"] == n_a
+
+    # file 2 arrives -> second drain folds it incrementally
+    tr_b.coalesce(1).write.mode("append").parquet(src)
+    _drain(spark, src, workdir)
+
+    got_df = spark.read.parquet(os.path.join(workdir, "clusters"))
+    got = {(r.conv_id, r.cluster_id) for r in got_df.collect()}
+    want = {
+        (r.conv_id, r.cluster_id)
+        for r in _full_batch_clusters(spark, tr).collect()
+    }
+    assert got == want
+    assert got_df.count() == len(got)
+
+    # third drain with nothing new: no epoch folds, tables untouched
+    state_before = _load_fold_state(workdir)
+    mtime = os.path.getmtime(os.path.join(workdir, "run_manifest.json"))
+    _drain(spark, src, workdir)
+    assert _load_fold_state(workdir) == state_before
+    assert os.path.getmtime(os.path.join(workdir, "run_manifest.json")) == mtime
+
+
+def test_replayed_epoch_is_skipped(spark, tmp_path):
+    """Simulate a foreachBatch crash-replay: calling the fold with an
+    already-recorded epoch id must be a no-op instead of tripping the
+    runner's batch-overlap guard."""
+    from hexspark.pipeline.runner import Runner
+    from hexspark.streaming.ingest import make_fold_batch
+
+    workdir = str(tmp_path / "wd")
+    tr = fixtures.transcripts_df(spark, n_base=30, seed=5, mutation_rate=0.01)
+    runner = Runner(spark, workdir, CFG)
+    fold = make_fold_batch(runner)
+    fold(tr, 0)
+    rows = spark.read.parquet(os.path.join(workdir, "clusters")).count()
+    fold(tr, 0)  # replay: same epoch, same data -> skipped, no overlap error
+    assert spark.read.parquet(os.path.join(workdir, "clusters")).count() == rows
