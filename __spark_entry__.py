@@ -450,8 +450,21 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by one aggregate; at 100 TB this is a single exchange keyed on
     user_id (sessions never span users) plus per-partition sorts."""
     ev = _events(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ: all epoch math is wall-clock arithmetic against
+    # an NTZ literal (timestampdiff), never a cast through the session
+    # timezone — the driver's session tz is not ours to assume, and the
+    # DuckDB oracle's epoch()/epoch_us() treat the naive value as UTC.
+    # floor-of-epoch-seconds per timestamp (not timestampdiff(SECOND)
+    # between the two, which truncates the *difference*) mirrors the
+    # oracle's floor(epoch(ts)) - floor(epoch(lag(ts))) exactly across
+    # sub-second boundaries.
+    ev = ev.withColumn(
+        "ts_us",
+        F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"),
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    floor_ts = (F.col("ts_us") / 1_000_000).cast("bigint")
+    gap = floor_ts - (F.lag("ts_us").over(w) / 1_000_000).cast("bigint")
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = (
         ev.withColumn("new_sess", new_sess)
@@ -463,11 +476,9 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         # epoch-microsecond longs: exact cross-engine compare, no timestamp
-        # formatting ambiguity in the value-hash
-        # ts is TIMESTAMP_NTZ; session tz is pinned to UTC so the cast is
-        # the identity wall-clock -> epoch mapping DuckDB's epoch_us uses
-        F.unix_micros(F.min("ts").cast("timestamp")).alias("start_us"),
-        F.unix_micros(F.max("ts").cast("timestamp")).alias("end_us"),
+        # formatting ambiguity in the value-hash, no session-tz dependence
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
 

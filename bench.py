@@ -109,11 +109,10 @@ def main() -> None:
     # per-stage persists — pairs stream from the band join through the
     # codegen gate into the Arrow scorer and the CC checkpoint
     def run_fused():
-        fsigs = simhash.signatures(assemble.assemble_conversations(tr)).persist()
-        fpairs, _ = blocking.candidate_pairs_wide(fsigs)
-        fedges = scoring.score_wide(fpairs, max_dist=40)
-        fcc, _ = clustering.connected_components(fedges)
-        n = clustering.with_singletons(fcc, fsigs.select("conv_id")).count()
+        from hexspark.pipeline.fused import fused_clusters
+
+        clusters, fsigs, _ = fused_clusters(tr, max_dist=40)
+        n = clusters.count()
         fsigs.unpersist()
         return n
 

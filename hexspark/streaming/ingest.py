@@ -13,9 +13,17 @@ over verbatim.
 
 Exactly-once: the file source tracks consumed files in the stream
 checkpoint, and foreachBatch replays after a crash are made idempotent by
-recording the last folded epoch per stream-id in the workdir (the standard
-idempotent-foreachBatch pattern) — a replayed epoch is skipped instead of
-tripping the runner's batch-overlap guard.
+a per-checkpoint fold record in the workdir (the standard
+idempotent-foreachBatch pattern — epoch ids are only meaningful relative
+to one checkpoint, so the record is keyed by it). A replay of a fully
+folded epoch is skipped; a replay of an epoch that crashed mid-fold uses
+the clusters table (the fold's final write) as the completion witness:
+all batch conv_ids present → only the record write was lost, skip; none
+present → re-run the fold (at worst the edges append duplicates, which
+connected components is insensitive to); the one window two separate
+table replacements cannot self-heal (signatures updated, clusters not)
+raises a precise operator error — with Iceberg in production all three
+writes share one transaction and the window disappears.
 
 At scale this is the right shape: each micro-batch pays cost proportional
 to the batch (incremental blocking never generates the old-old quadrant),
@@ -29,13 +37,10 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..fixtures import TRANSCRIPT_SCHEMA as TRANSCRIPT_DDL
 from ..pipeline.runner import PipelineConfig, Runner
-
-TRANSCRIPT_DDL = (
-    "conv_id string, turn_idx int, role string, text string, "
-    "tool string, ts timestamp"
-)
 
 
 def _fold_state_path(workdir: str) -> str:
@@ -58,31 +63,76 @@ def _save_fold_state(workdir: str, state: dict) -> None:
     os.replace(tmp, _fold_state_path(workdir))
 
 
-def _has_completed_run(workdir: str) -> bool:
-    p = os.path.join(workdir, "run_manifest.json")
+def _routes_incremental(runner: Runner) -> bool:
+    """Mirror Runner.run_incremental's own precondition (runner.py): both
+    the signatures and clusters stages completed AND their tables present.
+    Anything less bootstraps via Runner.run — routing a half-built workdir
+    to the incremental path would just raise there."""
+    p = os.path.join(runner.workdir, "run_manifest.json")
     if not os.path.exists(p):
         return False
     with open(p) as f:
         m = json.load(f)
-    return bool(m.get("completed", {}).get("clusters"))
+    done = m.get("completed", {})
+    return all(
+        done.get(stage) and runner.io.exists(stage)
+        for stage in ("signatures", "clusters")
+    )
 
 
-def make_fold_batch(runner: Runner):
+def make_fold_batch(runner: Runner, fold_key: str = "default"):
     """foreachBatch callback folding one micro-batch of transcripts into
-    the runner's workdir. Split out for direct unit testing."""
+    the runner's workdir. `fold_key` namespaces the idempotence record —
+    epoch ids restart from 0 for every distinct stream checkpoint, so the
+    caller keys it by checkpoint location. Split out for direct unit
+    testing."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         workdir = runner.workdir
         state = _load_fold_state(workdir)
-        last = state.get("last_epoch", -1)
-        if epoch_id <= last:
-            return  # crash-replayed epoch: already folded, skip
+        rec = state.get(fold_key, {})
+        last_done = rec.get("done_epoch", -1)
+        if epoch_id <= last_done:
+            return  # crash-replayed epoch: fully folded, skip
         if not batch_df.isEmpty():
-            if _has_completed_run(workdir):
-                runner.run_incremental(batch_df)
+            if _routes_incremental(runner):
+                # Replay of an epoch that crashed between the fold and the
+                # record write. run_incremental writes edges (append), then
+                # signatures, then clusters — each replace atomic on its
+                # own. The CLUSTERS table (last write) is the completion
+                # witness: all batch ids present → the fold finished and
+                # only the record write was lost → skip. None present →
+                # the fold never reached the table writes → re-run (at
+                # worst the edges append duplicates, which connected
+                # components is insensitive to). Signatures updated but
+                # clusters not is the one narrow window two separate table
+                # writes cannot self-heal — surface it precisely instead
+                # of letting the batch-overlap guard produce a confusing
+                # error (with Iceberg in production the three writes share
+                # one transaction and this window disappears).
+                batch_ids = batch_df.select("conv_id").distinct()
+                n_batch = batch_ids.count()
+
+                def known_in(stage: str) -> int:
+                    return (
+                        runner.io.read(stage)
+                        .join(F.broadcast(batch_ids), "conv_id", "left_semi")
+                        .count()
+                    )
+
+                if known_in("clusters") != n_batch:
+                    if known_in("signatures") == n_batch:
+                        raise RuntimeError(
+                            f"epoch {epoch_id}: prior fold crashed between "
+                            "the signatures and clusters replacements; the "
+                            "workdir needs the clusters table restored from "
+                            "the previous snapshot (or a fresh batch run) "
+                            "before the stream can resume"
+                        )
+                    runner.run_incremental(batch_df)
             else:
                 runner.run(batch_df)
-        state["last_epoch"] = epoch_id
+        state[fold_key] = {"done_epoch": epoch_id}
         _save_fold_state(workdir, state)
 
     return fold
@@ -104,17 +154,16 @@ def fold_transcript_stream(
     StreamingQuery — callers awaitTermination().
     """
     runner = Runner(spark, workdir, config)
+    checkpoint = checkpoint_dir or os.path.join(workdir, "_stream_checkpoint")
     reader = (
         spark.readStream.schema(TRANSCRIPT_DDL)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
     writer = (
-        reader.writeStream.foreachBatch(make_fold_batch(runner))
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(workdir, "_stream_checkpoint"),
-        )
+        reader.writeStream.foreachBatch(
+            make_fold_batch(runner, fold_key=os.path.abspath(checkpoint))
+        ).option("checkpointLocation", checkpoint)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -321,7 +321,8 @@ be timed separately — a cost the production plan never pays: candidate
 pairs stream straight from the band self-join through the codegen hamming
 gate into the Arrow scorer and the CC input checkpoint, with only the
 signature table cached. Measuring the pipeline the way production runs it
-(ONE action chain, fresh plans, best-of-{int(os.environ.get('SCALING_REPS_HUGE', '4'))},
+(ONE action chain, fresh plans, best of {pf8.get('fused_reps_timed', 3)}
+timed passes after an untimed warmup,
 16x input: {pf8['n_convs']:,} convs / {pf8['n_turns']:,} turns):
 
 | | N=8 cores | 4N=32 | efficiency |
@@ -342,7 +343,10 @@ signature table cached. Measuring the pipeline the way production runs it
 (raw: build/scaling_pipefused{{8,32}}.json)
 """
 
-    if os.path.exists(os.path.join(REPO, "build", "scaling_cap32.json")):
+    if all(
+        os.path.exists(os.path.join(REPO, "build", f"scaling_{t}32.json"))
+        for t in ("cap", "pipebig", "pipefused")
+    ):
         cap = load("cap", 32)
         pb32f = load("pipebig", 32)
         pf32 = load("pipefused", 32)

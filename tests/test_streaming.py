@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hexspark import fixtures
-from hexspark.pipeline import assemble, blocking, clustering, scoring, simhash
+from hexspark.pipeline.fused import fused_clusters
 from hexspark.pipeline.runner import PipelineConfig
 from hexspark.streaming import fold_transcript_stream
 from hexspark.streaming.ingest import _load_fold_state
@@ -22,11 +22,8 @@ CFG = PipelineConfig(max_dist=MAX_DIST)
 
 
 def _full_batch_clusters(spark, tr):
-    sigs = simhash.signatures(assemble.assemble_conversations(tr)).persist()
-    pairs, _ = blocking.candidate_pairs_wide(sigs)
-    edges = scoring.score_wide(pairs, max_dist=MAX_DIST)
-    cc, _ = clustering.connected_components(edges)
-    return clustering.with_singletons(cc, sigs.select("conv_id"))
+    clusters, _, _ = fused_clusters(tr, max_dist=MAX_DIST)
+    return clusters
 
 
 def _drain(spark, src, workdir):
@@ -94,3 +91,41 @@ def test_replayed_epoch_is_skipped(spark, tmp_path):
     rows = spark.read.parquet(os.path.join(workdir, "clusters")).count()
     fold(tr, 0)  # replay: same epoch, same data -> skipped, no overlap error
     assert spark.read.parquet(os.path.join(workdir, "clusters")).count() == rows
+
+
+def test_crash_before_record_write_recovers(spark, tmp_path):
+    """Fold applied but the epoch record write was lost (crash window):
+    the replay must detect completion via the clusters-table witness and
+    skip, not trip the batch-overlap guard."""
+    from hexspark.pipeline.runner import Runner
+    from hexspark.streaming.ingest import (
+        _load_fold_state,
+        _save_fold_state,
+        make_fold_batch,
+    )
+
+    workdir = str(tmp_path / "wd")
+    tr = fixtures.transcripts_df(spark, n_base=40, seed=9, mutation_rate=0.01)
+    ids = tr.select("conv_id").distinct().where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    tr_a = tr.join(ids, "conv_id", "left_semi")
+    tr_b = tr.join(ids, "conv_id", "left_anti")
+
+    runner = Runner(spark, workdir, CFG)
+    fold = make_fold_batch(runner)
+    fold(tr_a, 0)   # bootstrap
+    fold(tr_b, 1)   # incremental fold
+    before = {
+        (r.conv_id, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(workdir, "clusters")).collect()
+    }
+    # lose the epoch-1 record, as if the crash hit between fold and save
+    state = _load_fold_state(workdir)
+    state["default"] = {"done_epoch": 0}
+    _save_fold_state(workdir, state)
+    fold(tr_b, 1)   # replay: witness sees every batch id in clusters -> skip
+    after = {
+        (r.conv_id, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(workdir, "clusters")).collect()
+    }
+    assert after == before
+    assert _load_fold_state(workdir)["default"]["done_epoch"] == 1
