@@ -162,3 +162,74 @@ def test_band_val_int_matches_hex_substring(spark):
         "hv", F.conv(F.expr("substring(sig_hex, band_id*4 + 1, 4)"), 16, 10).cast("long")
     )
     assert both.where(F.col("iv") != F.col("hv")).count() == 0
+
+
+def test_randomized_exactly_once_and_connectivity(spark):
+    """Randomized invariant sweep over the whole B4/B5 surface: for random
+    signature populations (mixing near-dup families and noise) and random
+    max_block values that force arbitrary subsets of blocks through the
+    salt-chain branch, the wide pair stream must (a) never emit a pair
+    twice, (b) emit a subset of the brute-force band-collision pairs, and
+    (c) preserve the band-collision graph's connected components exactly
+    (chaining may thin edges inside an oversize block but never splits or
+    merges components)."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        n_fam = rng.randint(2, 5)
+        rows = []
+        for f in range(n_fam):
+            base = rng.getrandbits(256)
+            size = rng.choice([1, 2, 3, 8, 15])
+            for m in range(size):
+                v = base
+                for _ in range(rng.randint(0, 2)):
+                    v ^= 1 << rng.randrange(256)
+                rows.append((f"c{f:02d}_{m:03d}", _hex(v)))
+        sigs = _sigs_df(spark, rows)
+        max_block = rng.choice([2, 3, 5, 2000])
+
+        pairs = blocking.candidate_pairs(sigs, max_block=max_block)[0].persist()
+        emitted = [(r.conv_id_a, r.conv_id_b) for r in pairs.collect()]
+        assert len(emitted) == len(set(emitted)), (trial, max_block)
+        assert all(a < b for a, b in emitted)
+
+        bands = blocking.band_projection(sigs)
+        brute = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_val") == F.col("y.band_val"))
+                & (F.col("x.conv_id") < F.col("y.conv_id")),
+            )
+            .select(
+                F.col("x.conv_id").alias("a"), F.col("y.conv_id").alias("b")
+            )
+            .distinct()
+        )
+        want_pairs = {(r.a, r.b) for r in brute.collect()}
+        assert set(emitted) <= want_pairs, (trial, max_block)
+
+        def components(edge_list):
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edge_list:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            return {
+                frozenset(k for k in parent if find(k) == r)
+                for r in {find(k) for k in parent}
+            }
+
+        assert components(emitted) == components(want_pairs), (trial, max_block)
+        pairs.unpersist()
