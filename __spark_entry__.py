@@ -547,6 +547,20 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization ANN (the inverted-file scale path, beside
+    the LSH one): deterministic id-based centroids so DuckDB mirrors the
+    quantizer, nearest-centroid cells, probe re-ranks only its own cell."""
+    from hexspark.ops.ann import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = ivf_topk(emb, probes, k=5, n_centroids=8)
+    return out.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode round-trip, DuckDB-oracled: documents become real
     binary containers (24-bit BMPs / PCM WAVs via mapInPandas), then
@@ -588,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_signatures": q_pipeline_signatures,
         "pipeline_clusters": q_pipeline_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
     }
 
@@ -813,6 +828,36 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, vec_id) AS rank
               FROM cand)
             SELECT probe_id, vec_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
+        """,
+        "ivf_ann_topk": """
+            WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+            ea AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                          list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS csim
+                   FROM embeddings e, c),
+            cells AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY csim DESC, cent_id) AS rn FROM ea)
+                      WHERE rn = 1),
+            p0 AS (SELECT vec_id AS probe_id, embedding AS pv
+                   FROM embeddings WHERE vec_id < 10),
+            pa AS (SELECT p0.probe_id, p0.pv, c.cent_id,
+                          list_cosine_similarity(p0.pv::DOUBLE[], c.cv::DOUBLE[]) AS csim
+                   FROM p0, c),
+            pcells AS (SELECT probe_id, pv, cent_id AS cell FROM (
+                         SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY csim DESC, cent_id) AS rn FROM pa)
+                       WHERE rn = 1),
+            s AS (SELECT pc.probe_id, cells.vec_id,
+                         list_cosine_similarity(pc.pv::DOUBLE[], cells.embedding::DOUBLE[]) AS sim
+                  FROM pcells pc JOIN cells USING (cell)
+                  WHERE cells.vec_id <> pc.probe_id),
+            r AS (SELECT probe_id, vec_id, sim,
+                         row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT probe_id, vec_id, round(sim, 6) AS sim, rank::BIGINT AS rank
+            FROM r WHERE rank <= 5
         """,
         "ann_topk": """
             WITH p AS (SELECT vec_id AS probe_id, embedding AS pv

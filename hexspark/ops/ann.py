@@ -213,3 +213,67 @@ def lsh_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _nearest_centroid(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign every row to its nearest centroid by cosine (ties broken by
+    centroid id). One broadcast of the tiny centroid table, one narrow
+    scoring pass, one row_number window keyed on the row id."""
+    sim = cosine_sim(F.col(vec_col), F.col("cent_vec"))
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cent_id"), sim.alias("csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style coarse-quantization ANN (the inverted-file counterpart to
+    lsh_topk): vectors are assigned to the nearest of ``n_centroids``
+    DETERMINISTIC centroids — the embeddings with the smallest ids, so a
+    SQL oracle can mirror the quantizer exactly with no k-means RNG state
+    to ship — and each probe exact-re-ranks only its own cell (n_probe=1).
+
+    Scale shape: the centroid table is a broadcast (assignment is one
+    narrow pass over the corpus — no shuffle), the probe-to-candidate join
+    is an equi-join on the cell id, and the re-rank touches ~1/n_centroids
+    of the corpus per probe instead of all of it. Swapping the id-based
+    centroids for trained k-means centroids changes recall, not the plan.
+
+    Returns (probe_id, vec_id, sim, rank) with rank 1..k by
+    (sim desc, vec_id asc), self-matches excluded.
+    """
+    cents = embeddings.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    cells = _nearest_centroid(embeddings, cents, id_col, vec_col)
+    pcells = _nearest_centroid(
+        probes.select(
+            F.col("probe_id").alias(id_col), F.col("probe_vec").alias(vec_col)
+        ),
+        cents,
+        id_col,
+        vec_col,
+    ).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"), "cell"
+    )
+    cand = pcells.join(cells, "cell").where(F.col("probe_id") != F.col(id_col))
+    sim = cosine_sim(F.col("probe_vec"), F.col(vec_col))
+    scored = cand.select(
+        "probe_id", F.col(id_col).alias("vec_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

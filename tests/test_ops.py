@@ -287,3 +287,31 @@ def test_simhash_sql_matches_python_reference(spark):
         assert got[doc_id] == ref_sig(text), doc_id
     assert got[1] == got[2]  # case/tokenization-invariant
     assert got[1] != got[3]
+
+
+def test_ivf_topk_recall_and_cell_exactness(spark, embeddings):
+    """IVF coarse quantization: planted rank-1 near-duplicates are
+    ~identical vectors, so probe and neighbor share a nearest centroid
+    with high probability → recall@1 stays high at n_probe=1; and within
+    the probe's cell the ranking must be exactly the brute-force ranking
+    restricted to that cell (IVF never changes scores, only candidacy)."""
+    probes = embeddings.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact1 = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann.brute_force_topk(embeddings, probes, k=1).collect()
+    }
+    ivf = ann.ivf_topk(embeddings, probes, k=5, n_centroids=8).persist()
+    got1 = {(r["probe_id"], r["vec_id"]) for r in ivf.where("rank = 1").collect()}
+    recall = len(exact1 & got1) / len(exact1)
+    assert recall >= 0.7, recall
+
+    # cell-exactness: every IVF sim equals the brute-force sim for the pair
+    bf = {
+        (r["probe_id"], r["vec_id"]): r["sim"]
+        for r in ann.brute_force_topk(embeddings, probes, k=10_000).collect()
+    }
+    for r in ivf.collect():
+        assert abs(bf[(r["probe_id"], r["vec_id"])] - r["sim"]) < 1e-12
+    ivf.unpersist()
