@@ -76,3 +76,37 @@ class TableIO:
         if self.use_iceberg:
             return self.spark.read.table(f"{self.catalog}.{self.namespace}.{name}")
         return self.spark.read.parquet(self._path(name))
+
+    def write_bucketed(
+        self, df: DataFrame, name: str, bucket_cols: list[str], n_buckets: int
+    ) -> str:
+        """Write a stage table bucketed (and sorted) by ``bucket_cols`` so
+        downstream equi-joins on those columns are CO-LOCATED: two tables
+        bucketed the same way join with ZERO exchanges (the 100TB move for
+        join keys reused across stages — e.g. signatures ⋈ clusters on
+        conv_id — where a shuffle of the big side would dominate the job).
+
+        Iceberg mode uses a bucket(...) partition transform; parquet mode
+        uses Spark's native bucketBy, which requires a catalog table entry
+        (saveAsTable) — the data lands under the workdir, the catalog entry
+        carries the bucketing metadata Spark's planner needs to elide the
+        exchange. Returns the table identifier to read/join on.
+        """
+        if self.use_iceberg:
+            from pyspark.sql.functions import bucket, col
+
+            ident = f"{self.catalog}.{self.namespace}.{name}"
+            df.writeTo(ident).partitionedBy(
+                bucket(n_buckets, col(bucket_cols[0]))
+            ).createOrReplace()
+            return ident
+        ident = f"hexspark_bucketed_{name}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", self._path(f"bucketed_{name}"))
+            .saveAsTable(ident)
+        )
+        return ident
