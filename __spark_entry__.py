@@ -442,6 +442,24 @@ def _synthetic_pipeline(spark: SparkSession):
     return sigs, pairs, edges, clusters
 
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language —
+    order-statistic aggregates (the one aggregate family the contract did
+    not yet exercise). Spark `percentile` and DuckDB `quantile_cont` share
+    the linear-interpolation definition, so values hash-match exactly; at
+    100 TB the same query swaps to `approx_percentile` (t-digest sketch,
+    one pass, mergeable) at the cost of oracle exactness."""
+    docs = _docs(spark, sf_dir)
+    n = F.col("n_chars").cast("double")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(n, F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(n, F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile(n, F.lit(0.95)), 4).alias("p95"),
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (the batch analogue of
     a session window): a new session starts when a user's inter-event gap
@@ -596,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_marker_scores": q_lang_marker_scores,
+        "length_percentiles": q_length_percentiles,
         "event_sessions": q_event_sessions,
         "top_orders_per_customer": q_top_orders_per_customer,
         "simhash_sql": q_simhash_sql,
@@ -922,6 +941,15 @@ def oracle_sql() -> dict[str, str]:
                    0::INT AS width, 0::INT AS height,
                    ((2 * (64 + L % 1000)) * 1000 // 16000)::BIGINT AS duration_ms
             FROM m WHERE kind = 'audio'
+        """,
+        "length_percentiles": """
+            SELECT lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   round(quantile_cont(n_chars::DOUBLE, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars::DOUBLE, 0.75), 4) AS p75,
+                   round(quantile_cont(n_chars::DOUBLE, 0.95), 4) AS p95
+            FROM documents GROUP BY lang
         """,
         "event_sessions": """
             WITH flagged AS (
