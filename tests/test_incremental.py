@@ -203,3 +203,43 @@ def test_empty_new_batch_is_identity(spark, split_data):
     want = {(r.conv_id, r.cluster_id) for r in clusters_old.collect()}
     got = {(r.conv_id, r.cluster_id) for r in res["clusters"].collect()}
     assert got == want
+
+
+def test_incremental_matches_full_batch_randomized(spark):
+    """Randomized equivalence sweep: random corpora, random split fractions
+    and salts (including splits that scatter duplicate families across the
+    old/new boundary). Each trial pins the same contract as the fixed-split
+    test above — the incremental fold of the new batch must reproduce the
+    full-batch clustering exactly."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(3):
+        seed = rng.randint(1, 10_000)
+        mod = rng.choice([2, 3, 5])
+        keep = rng.randrange(mod)
+        salt = rng.randint(0, 1 << 30)
+        tr = fixtures.transcripts_df(
+            spark, n_base=rng.choice([80, 150]), seed=seed, mutation_rate=0.01
+        ).cache()
+        old_ids = (
+            tr.select("conv_id").distinct()
+            .where(F.pmod(F.xxhash64("conv_id", F.lit(salt)), F.lit(mod)) != keep)
+            .cache()
+        )
+        tr_old = tr.join(old_ids, "conv_id")
+        tr_new = tr.join(old_ids, "conv_id", "left_anti")
+        if tr_new.select("conv_id").distinct().count() == 0:
+            continue
+
+        _, clusters_full = _batch_clusters(spark, tr)
+        sigs_old, clusters_old = _batch_clusters(spark, tr_old)
+        res = incremental.incremental_update(
+            tr_new, sigs_old, clusters_old, max_dist=MAX_DIST
+        )
+        want = {(r.conv_id, r.cluster_id) for r in clusters_full.collect()}
+        got = {(r.conv_id, r.cluster_id) for r in res["clusters"].collect()}
+        assert got == want, (trial, seed, mod, keep, salt)
+        assert res["clusters"].count() == len(got), (trial, seed)
+        tr.unpersist()
+        old_ids.unpersist()
