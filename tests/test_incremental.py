@@ -227,19 +227,24 @@ def test_incremental_matches_full_batch_randomized(spark):
             .where(F.pmod(F.xxhash64("conv_id", F.lit(salt)), F.lit(mod)) != keep)
             .cache()
         )
-        tr_old = tr.join(old_ids, "conv_id")
-        tr_new = tr.join(old_ids, "conv_id", "left_anti")
-        if tr_new.select("conv_id").distinct().count() == 0:
-            continue
+        persisted = [tr, old_ids]
+        try:
+            tr_old = tr.join(old_ids, "conv_id")
+            tr_new = tr.join(old_ids, "conv_id", "left_anti")
+            if tr_new.select("conv_id").distinct().count() == 0:
+                continue
 
-        _, clusters_full = _batch_clusters(spark, tr)
-        sigs_old, clusters_old = _batch_clusters(spark, tr_old)
-        res = incremental.incremental_update(
-            tr_new, sigs_old, clusters_old, max_dist=MAX_DIST
-        )
-        want = {(r.conv_id, r.cluster_id) for r in clusters_full.collect()}
-        got = {(r.conv_id, r.cluster_id) for r in res["clusters"].collect()}
-        assert got == want, (trial, seed, mod, keep, salt)
-        assert res["clusters"].count() == len(got), (trial, seed)
-        tr.unpersist()
-        old_ids.unpersist()
+            sigs_full, clusters_full = _batch_clusters(spark, tr)
+            sigs_old, clusters_old = _batch_clusters(spark, tr_old)
+            persisted += [sigs_full, sigs_old]
+            res = incremental.incremental_update(
+                tr_new, sigs_old, clusters_old, max_dist=MAX_DIST
+            )
+            persisted += [res["new_signatures"], res["edges"]]
+            want = {(r.conv_id, r.cluster_id) for r in clusters_full.collect()}
+            got = {(r.conv_id, r.cluster_id) for r in res["clusters"].collect()}
+            assert got == want, (trial, seed, mod, keep, salt)
+            assert res["clusters"].count() == len(got), (trial, seed)
+        finally:
+            for df in persisted:
+                df.unpersist()
