@@ -442,6 +442,30 @@ def _synthetic_pipeline(spark: SparkSession):
     return sigs, pairs, edges, clusters
 
 
+def q_dedup_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op evidence (§2.4): the doc ids exact dedup REMOVES, computed
+    with exceptAll — all ids of the doubled table minus the dedup
+    survivors (canonical ids of duplicate groups plus all singleton-group
+    ids), mirrored by SQL EXCEPT ALL in the oracle. At scale exceptAll is
+    one hash aggregation on fixed-width ids; the Catalyst plan is the same
+    shape as the left-anti joins the pipeline uses for singletons/eval."""
+    from hexspark.ops.dedup import exact_dedup_groups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    groups = exact_dedup_groups(doubled)
+    survivors = groups.select(F.col("canonical_id").alias("doc_id")).unionByName(
+        doubled.join(
+            groups.select("text_md5"),
+            F.md5(doubled["text"]) == F.col("text_md5"),
+            "left_anti",
+        ).select("doc_id")
+    )
+    return doubled.select("doc_id").exceptAll(survivors)
+
+
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     order-statistic aggregates (the one aggregate family the contract did
@@ -614,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_marker_scores": q_lang_marker_scores,
+        "dedup_removed_docs": q_dedup_removed_docs,
         "length_percentiles": q_length_percentiles,
         "event_sessions": q_event_sessions,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -941,6 +966,27 @@ def oracle_sql() -> dict[str, str]:
                    0::INT AS width, 0::INT AS height,
                    ((2 * (64 + L % 1000)) * 1000 // 16000)::BIGINT AS duration_ms
             FROM m WHERE kind = 'audio'
+        """,
+        "dedup_removed_docs": """
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            ),
+            groups AS (
+              SELECT md5(text) AS text_md5, COUNT(*) AS n_dups,
+                     MIN(doc_id) AS canonical_id
+              FROM doubled GROUP BY md5(text) HAVING COUNT(*) > 1
+            ),
+            survivors AS (
+              SELECT canonical_id AS doc_id FROM groups
+              UNION ALL
+              SELECT d.doc_id FROM doubled d
+              WHERE md5(d.text) NOT IN (SELECT text_md5 FROM groups)
+            )
+            SELECT doc_id FROM doubled
+            EXCEPT ALL
+            SELECT doc_id FROM survivors
         """,
         "length_percentiles": """
             SELECT lang,
