@@ -135,10 +135,13 @@ def minhash_pairs(
     # later consumer). When none exist — the common case — skip the
     # banned-mask join and the chain branch entirely instead of running
     # their exchanges and window sorts over zero rows on every execution.
-    # `oversize` itself is persisted (tiny) so the skewed case pays the
-    # sizes aggregation once across probe / banned / chain consumers.
-    oversize = sizes.where(F.col("block_size") > max_block).persist()
-    has_oversize = oversize.count() > 0
+    # `oversize` itself is materialized via localCheckpoint (tiny) so the
+    # skewed case pays the sizes aggregation once across probe / banned /
+    # chain consumers — localCheckpoint, not persist: checkpointed blocks
+    # are freed by the ContextCleaner when the plan is GC'd, while a
+    # CacheManager persist entry leaks per call in a long-lived app.
+    oversize = sizes.where(F.col("block_size") > max_block).localCheckpoint(eager=True)
+    has_oversize = not oversize.isEmpty()
     if has_oversize:
         banned = (
             rows.join(oversize.select("band", "bv"), ["band", "bv"])

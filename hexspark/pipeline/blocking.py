@@ -8,6 +8,17 @@ The 256-bit signature is cut into ``n_bands`` contiguous bands of
 python_hexhamming.cc:62-64, moved from inside the scalar loop up to the
 plan level: prune pairs before scoring instead of mid-scoring).
 
+Beyond the pigeonhole radius the recall is probabilistic, and callers gate
+scoring more loosely than the guarantee: at the default n_bands=16 the
+guarantee covers d < 16, while the pipeline's default scoring gate is
+max_dist=40 — for a pair at d=40 with uniformly spread differing bits the
+chance that at least one of 16 16-bit bands is clean is
+1-(1-((256-40)/256)^16)^16 ≈ 0.67, rising steeply as d drops (≈0.97 at
+d=25). SimHash distances of true near-duplicates concentrate far below the
+gate, so missed-pair mass is small; recall-critical deployments raise
+n_bands (32 bands of 8 bits guarantee d < 32 and give ≈0.9998 at d=40)
+and pay proportionally more band-exchange volume.
+
 Plan shape (the 100TB-relevant properties):
 
 1. Band values are INTEGERS (bit slices of the signature chunks), not hex
@@ -111,22 +122,76 @@ def _band_match_bit(b: int, n_bands: int) -> Column:
 
 
 def _match_mask(n_bands: int) -> Column:
-    """Long bitmask over all bands: bit b set iff band b matches."""
+    """Long bitmask over all bands: bit b set iff band b matches.
+    shiftleft (not a Python int literal) so bit 63 stays inside Spark's
+    long literal range at n_bands=64."""
     expr = None
     for b in range(n_bands):
-        term = F.when(_band_match_bit(b, n_bands), F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            _band_match_bit(b, n_bands), F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
         expr = term if expr is None else expr + term
     return expr.cast("long")
 
 
 def sig_chunks_raw():
-    """The 8 x 32-bit chunk expressions of sig_hex without side suffix."""
-    from .scoring import N_CHUNKS
+    """The 8 x 32-bit chunk expressions of sig_hex without side suffix
+    (single definition in scoring.sig_chunks_raw; re-exported here for the
+    band-slice call sites)."""
+    from .scoring import sig_chunks_raw as _raw
 
-    return [
-        F.conv(F.substring("sig_hex", i * 8 + 1, 8), 16, 10).cast("long")
-        for i in range(N_CHUNKS)
-    ]
+    return _raw()
+
+
+def banded_with_skew_gate(
+    sigs_c: DataFrame, band_vals: Column, max_block: int
+) -> tuple[DataFrame, DataFrame, bool, DataFrame]:
+    """The adaptive skew gate shared by the batch and incremental blocking
+    paths: compute per-block sizes, probe ONCE at plan-build time for
+    blocks above ``max_block``, and attach the per-conv banned-band
+    bitmask only when some block is oversize (otherwise every mask is a
+    zero literal and the whole skew subplan is left out of the plan —
+    detecting skew needs the sizes aggregation either way, so the probe is
+    one cheap scan; it is the same decide-at-runtime move AQE makes for
+    skew joins, applied one level up).
+
+    The oversize list is materialized with localCheckpoint rather than
+    persist: it is consumed by several subtrees (probe, banned-mask build,
+    chain-branch broadcasts) but a persist() entry in the CacheManager is
+    never released without an explicit unpersist the callers cannot reach
+    — checkpointed RDD blocks are freed by the ContextCleaner once the
+    plan is garbage collected, so repeated calls in a long-lived
+    application do not accumulate cache entries. It is tiny by
+    construction (one row per >max_block block).
+
+    Returns (sigs_b = sigs_c + banned column, oversize, has_oversize,
+    block_stats).
+    """
+    bands_raw = sigs_c.select(
+        "conv_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    sizes = bands_raw.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("block_size")
+    )
+    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
+    oversize = sizes.where(F.col("block_size") > max_block).localCheckpoint(eager=True)
+    has_oversize = not oversize.isEmpty()
+    if has_oversize:
+        banned = (
+            bands_raw.join(
+                oversize.select("band_id", "band_val"), ["band_id", "band_val"]
+            )
+            .groupBy("conv_id")
+            .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
+        )
+        sigs_b = sigs_c.join(banned, "conv_id", "left").withColumn(
+            "banned", F.coalesce(F.col("banned"), F.lit(0).cast("long"))
+        )
+    else:
+        # no oversize blocks: every banned mask is zero; the bit-test
+        # filters downstream keep the exactly-once guarantee unchanged
+        sigs_b = sigs_c.withColumn("banned", F.lit(0).cast("long"))
+    return sigs_b, oversize, has_oversize, block_stats
 
 
 def _pair_projection(n_chunks: int, swap: Column):
@@ -146,11 +211,10 @@ def _pair_projection(n_chunks: int, swap: Column):
     for i in range(n_chunks):
         cols.append(pick(F.col(f"c{i}"), F.col(f"nb.c{i}"), True).alias(f"c{i}_a"))
         cols.append(pick(F.col(f"c{i}"), F.col(f"nb.c{i}"), False).alias(f"c{i}_b"))
+    # only the A-side banned mask is needed downstream: on every matching
+    # band both sides sit in the same block, so either side's bit is valid
     cols.append(
         pick(F.col("banned"), F.col("nb.banned"), True).alias("banned_a")
-    )
-    cols.append(
-        pick(F.col("banned"), F.col("nb.banned"), False).alias("banned_b")
     )
     return cols
 
@@ -182,47 +246,9 @@ def candidate_pairs_wide(
     sigs_c = signatures.select("conv_id", "canon", *chunk_cols)
     band_vals = F.array(*[_band_val_int(b, n_bands) for b in range(n_bands)])
 
-    bands_raw = sigs_c.select(
-        "conv_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    sigs_b, oversize, has_oversize, block_stats = banded_with_skew_gate(
+        sigs_c, band_vals, max_block
     )
-    sizes = bands_raw.groupBy("band_id", "band_val").agg(
-        F.count(F.lit(1)).alias("block_size")
-    )
-    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
-
-    # per-conv banned-band mask: bit b set iff the conv's block at band b
-    # is oversize. The oversize list is small by construction (each entry
-    # represents >max_block near-identical docs); AQE picks a broadcast
-    # join at any sane scale and falls back to a shuffle join otherwise.
-    # Adaptive skew gate: detecting skew needs the block-size aggregation
-    # either way, so probe it ONCE at plan-build time. When no block is
-    # oversize (the common case at a sane max_block), the banned-mask join
-    # and the chain branch below would still schedule their exchanges,
-    # window sorts and union on every run just to process zero rows —
-    # measured ~1.2s of fixed stage overhead per call at sf0.1. Both
-    # production call sites (the runner's materialized signatures stage,
-    # simhash_neardup_pairs' persisted cache) make the probe one cheap
-    # scan; it is the same decide-at-runtime move AQE makes for skew
-    # joins, applied one level up. `oversize` is persisted (tiny by
-    # construction: one row per >max_block block) so the skewed case pays
-    # the full-pass sizes aggregation once, not once per consumer (probe,
-    # banned-mask build, chain-branch broadcast).
-    oversize = sizes.where(F.col("block_size") > max_block).persist()
-    has_oversize = oversize.count() > 0
-    if has_oversize:
-        banned = (
-            bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
-            .groupBy("conv_id")
-            .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
-        )
-        sigs_b = (
-            sigs_c.join(banned, "conv_id", "left")
-            .withColumn("banned", F.coalesce(F.col("banned"), F.lit(0).cast("long")))
-        )
-    else:
-        # no oversize blocks: every banned mask is zero; the bit-test
-        # filters below keep the exactly-once guarantee unchanged
-        sigs_b = sigs_c.withColumn("banned", F.lit(0).cast("long"))
 
     bands = sigs_b.select(
         "conv_id", "canon", "banned",
@@ -314,7 +340,7 @@ def candidate_pairs_wide(
             (F.col("eff") == 0)
             & (F.col("bmatch").bitwiseAND(low_bits) == 0)
         )
-        .drop("match", "eff", "bmatch", "band_id", "banned_a", "banned_b")
+        .drop("match", "eff", "bmatch", "band_id", "banned_a")
     )
 
     pairs = normal.select(*out_cols).unionByName(chain.select(*out_cols))

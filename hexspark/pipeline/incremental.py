@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import assemble, clustering, scoring, simhash
-from .blocking import _band_val_int, _match_mask, sig_chunks_raw
+from .blocking import (
+    _band_val_int,
+    _match_mask,
+    banded_with_skew_gate,
+    sig_chunks_raw,
+)
 
 
 def incremental_candidate_pairs_wide(
@@ -75,33 +80,11 @@ def incremental_candidate_pairs_wide(
     sigs_c = signatures.select("conv_id", "canon", "is_new", *chunk_cols)
     band_vals = F.array(*[_band_val_int(b, n_bands) for b in range(n_bands)])
 
-    bands_raw = sigs_c.select(
-        "conv_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    # adaptive skew gate shared with the batch path (see
+    # blocking.banded_with_skew_gate): block sizes over the COMBINED corpus
+    sigs_b, oversize, has_oversize, block_stats = banded_with_skew_gate(
+        sigs_c, band_vals, max_block
     )
-    sizes = bands_raw.groupBy("band_id", "band_val").agg(
-        F.count(F.lit(1)).alias("block_size")
-    )
-    block_stats = sizes.withColumn("skipped", F.col("block_size") > F.lit(max_block))
-    # Adaptive skew gate, same as blocking.candidate_pairs_wide: probe for
-    # oversize blocks once at plan-build time; when none exist skip the
-    # banned-mask join and the whole chain/bridge branch (three window
-    # sorts + union) instead of scheduling them over zero rows every run.
-    # Persisted so the skewed case pays the sizes aggregation once across
-    # its consumers (probe, banned-mask build, chain + bridge broadcasts).
-    oversize = sizes.where(F.col("block_size") > max_block).persist()
-    has_oversize = oversize.count() > 0
-    if has_oversize:
-        banned = (
-            bands_raw.join(oversize.select("band_id", "band_val"), ["band_id", "band_val"])
-            .groupBy("conv_id")
-            .agg(F.sum(F.expr("shiftleft(1L, band_id)")).alias("banned"))
-        )
-        sigs_b = (
-            sigs_c.join(banned, "conv_id", "left")
-            .withColumn("banned", F.coalesce(F.col("banned"), F.lit(0).cast("long")))
-        )
-    else:
-        sigs_b = sigs_c.withColumn("banned", F.lit(0).cast("long"))
 
     bands = sigs_b.select(
         "conv_id", "canon", "banned", "is_new",

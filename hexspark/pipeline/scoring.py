@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,55 +33,25 @@ DEFAULT_MAX_DIST = 20
 DEFAULT_ALPHA = 0.75
 _CANON_LEN = 48
 
-_SCORE_SCHEMA = (
-    "conv_id_a string, conv_id_b string, hamming_dist long, jw double, score double"
-)
-
-
-def _score_batches(alpha: float):
-    """mapInArrow kernel: score whole record batches with zero per-row
-    Python — binary signature buffers become (n, 32) uint8 views, canon
-    ASCII strings become one padded matrix, and both kernels (SWAR-table
-    hamming + vectorized Jaro-Winkler) run on the full batch."""
-    from .. import arrow_kernels as ak
-    from .. import kernels
-
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            sa = ak.fixed_binary_matrix(batch.column("sig_a"), SIG_BYTES)
-            sb = ak.fixed_binary_matrix(batch.column("sig_b"), SIG_BYTES)
-            dist = kernels.hamming_bytes_matrix(
-                np.ascontiguousarray(sa), np.ascontiguousarray(sb)
-            )
-            jw = C.jw_arrow(batch.column("canon_a"), batch.column("canon_b"))
-            score = alpha * (1.0 - dist / float(SIG_BITS)) + (1.0 - alpha) * jw
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("conv_id_a"),
-                    batch.column("conv_id_b"),
-                    pa.array(dist, type=pa.int64()),
-                    pa.array(jw, type=pa.float64()),
-                    pa.array(score, type=pa.float64()),
-                ],
-                names=["conv_id_a", "conv_id_b", "hamming_dist", "jw", "score"],
-            )
-
-    return run
-
-
 N_CHUNKS = 8  # 8 x 32-bit hex chunks of the 256-bit signature
+_CHUNK_HEX = 8  # hex chars per chunk
+
+
+def sig_chunks_raw():
+    """The 256-bit signature as 8 long expressions derived from sig_hex —
+    THE single definition of the chunk decomposition (blocking and the
+    incremental path build their band slices from these same columns)."""
+    return [
+        F.conv(F.substring("sig_hex", i * _CHUNK_HEX + 1, _CHUNK_HEX), 16, 10).cast("long")
+        for i in range(N_CHUNKS)
+    ]
 
 
 def sig_chunks(side: str):
-    """Column list: the 256-bit signature as 8 longs derived from sig_hex —
-    computed map-side before the join shuffle, so the pair stream carries
-    integers the JVM can XOR/popcount inside whole-stage codegen."""
-    return [
-        F.conv(F.substring("sig_hex", i * 8 + 1, 8), 16, 10)
-        .cast("long")
-        .alias(f"c{i}_{side}")
-        for i in range(N_CHUNKS)
-    ]
+    """sig_chunks_raw with per-side aliases c{i}_{side} — computed map-side
+    before the join shuffle, so the pair stream carries integers the JVM
+    can XOR/popcount inside whole-stage codegen."""
+    return [c.alias(f"c{i}_{side}") for i, c in enumerate(sig_chunks_raw())]
 
 
 def hamming_jvm(side_a: str = "a", side_b: str = "b"):
@@ -163,18 +132,15 @@ def score_and_match(
     alpha: float = DEFAULT_ALPHA,
     min_score: float = 0.0,
 ) -> DataFrame:
-    """The fused B6+B7 fast path: JVM hamming + codegen filter
-    (dist <= max_dist, A3 semantics cc:62-64) prune the candidate stream
-    before anything crosses to Python; Jaro-Winkler scores only the
-    survivors."""
-    joined = _attach_signatures(pairs, signatures).withColumn(
-        "hamming_dist", hamming_jvm()
+    """The fused B6+B7 fast path for THIN pairs: attach both signatures by
+    equi-join, then run exactly the wide path — one gate/score definition,
+    so the thin and wide paths cannot diverge."""
+    return score_wide(
+        _attach_signatures(pairs, signatures),
+        max_dist=max_dist,
+        alpha=alpha,
+        min_score=min_score,
     )
-    gated = joined.where(F.col("hamming_dist") <= F.lit(max_dist)).select(
-        "conv_id_a", "conv_id_b", "hamming_dist", "canon_a", "canon_b"
-    )
-    scored = gated.mapInArrow(_jw_batches(alpha), _JW_SCHEMA)
-    return scored.where(F.col("score") >= F.lit(min_score))
 
 
 def score_wide(
