@@ -58,18 +58,34 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def _is_star_forest(edges: DataFrame) -> bool:
     """Exact convergence test. After any round, every edge points child→root
-    with root < child (small-star orients to the minimum). The state is
-    stable under further rounds iff it is a star forest: no root is itself
-    some other edge's child. Since every edge points to the strictly
-    smaller endpoint, a star's root is the minimum of its star, and a star
-    that is a whole component is rooted at the component minimum — i.e.
-    star forest ⟺ converged min-rooted answer. Testing this directly saves
-    the extra confirmation round a fixpoint checksum needs (one full
-    star+checkpoint pass per CC call)."""
-    roots_as_children = edges.join(
-        edges.select(F.col("u").alias("v")), "v", "left_semi"
+    with root < child (small-star orients to the minimum). The state is a
+    star forest — and therefore stable under further rounds — iff BOTH:
+
+      (a) no node has two parents (each child u appears in exactly one
+          edge), and
+      (b) no parent is itself some other edge's child.
+
+    Checking only (b) is unsound: the state {(c3,c0),(c3,c2),(c4,c2),
+    (c5,c2),(c6,c0)} has no root-as-child yet c3 still bridges two stars
+    that later rounds must merge — stopping there splits one true
+    component into two clusters and assigns c3 twice. Both violations are
+    found with ONE aggregation over the node incidences: a node is bad if
+    it is a child more than once, or both a child and a parent. Since
+    every edge points to the strictly smaller endpoint, a star's root is
+    the minimum of its star, and a star that is a whole component is
+    rooted at the component minimum — i.e. star forest ⟺ converged
+    min-rooted answer."""
+    incid = edges.select(
+        F.col("u").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
+    ).union(
+        edges.select(F.col("v").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
     )
-    return roots_as_children.isEmpty()
+    bad = (
+        incid.groupBy("n")
+        .agg(F.sum("c").alias("nc"), F.max("p").alias("isp"))
+        .where((F.col("nc") > 1) | ((F.col("nc") >= 1) & (F.col("isp") == 1)))
+    )
+    return bad.isEmpty()
 
 
 def connected_components(
@@ -93,10 +109,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     rounds = 0
-    for rounds in range(1, max_iter + 1):
+    converged = cur.isEmpty()
+    while not converged and rounds < max_iter:
+        rounds += 1
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        if _is_star_forest(cur):
-            break
+        converged = _is_star_forest(cur)
+    if not converged:
+        # a non-star-forest state would silently emit nodes with multiple
+        # cluster_ids and split components — refuse instead
+        raise RuntimeError(
+            f"connected components did not converge within max_iter={max_iter} "
+            "rounds; raise cc_max_iter (expected O(log^2 n) rounds)"
+        )
     # converged state: every edge is (node, root); roots themselves appear
     # only on the right side → add (root, root) rows.
     clusters = cur.select(

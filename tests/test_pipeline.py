@@ -221,3 +221,62 @@ def test_wide_path_equals_thin_path(spark):
     assert e_wide.exceptAll(e_thin).count() == 0
     assert e_wide.count() > 0
     sigs.unpersist()
+
+
+def test_connected_components_multi_parent_counterexample(spark):
+    """Regression: a state where no root appears as a child but one node
+    has TWO parents fooled the earlier root-as-child-only convergence test
+    into stopping a round early, splitting one true component into two
+    clusters (and assigning that node twice). This exact graph reproduced
+    the corruption."""
+    edges = spark.createDataFrame(
+        [("c2", "c4"), ("c5", "c3"), ("c5", "c4"),
+         ("c5", "c6"), ("c6", "c0"), ("c6", "c5")],
+        "conv_id_a string, conv_id_b string",
+    )
+    cc, _ = clustering.connected_components(edges)
+    rows = cc.collect()
+    got = {(r.conv_id, r.cluster_id) for r in rows}
+    nodes = {"c0", "c2", "c3", "c4", "c5", "c6"}
+    assert got == {(n, "c0") for n in nodes}, got
+    assert len(rows) == len({r.conv_id for r in rows})  # one row per node
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized sweep: CC over many small random graphs must match a
+    union-find oracle exactly (the multi-parent early-stop bug above hit
+    ~1% of small random graphs — a fixed fixture cannot cover the space)."""
+    import random
+
+    rng = random.Random(424242)
+    for trial in range(25):
+        n = rng.randint(2, 14)
+        m = rng.randint(1, 2 * n)
+        es = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(m)
+        ]
+        es = [(a, b) for a, b in es if a != b]
+        if not es:
+            continue
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(es, "conv_id_a string, conv_id_b string")
+        cc, _ = clustering.connected_components(df)
+        rows = cc.collect()
+        got = {r.conv_id: r.cluster_id for r in rows}
+        assert got == want, (trial, sorted(es), got, want)
+        assert len(rows) == len(got), (trial, "duplicate node assignment")
