@@ -74,6 +74,9 @@ def brute_force_topk(
     scored = joined.where(F.col("probe_id") != F.col(id_col)).select(
         "probe_id", F.col(id_col).alias("vec_id"), sim.alias("sim")
     )
+    # zero-norm vectors produce null sims (0/0); exclude them rather than
+    # letting row_number hand out ranks to null rows
+    scored = scored.where(F.col("sim").isNotNull())
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -211,6 +214,7 @@ def lsh_topk(
     scored = joined.where(F.col("probe_id") != F.col(id_col)).select(
         "probe_id", F.col(id_col).alias("vec_id"), sim.alias("sim")
     )
+    scored = scored.where(F.col("sim").isNotNull())  # zero-norm guard
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -256,8 +260,13 @@ def ivf_topk(
     Returns (probe_id, vec_id, sim, rank) with rank 1..k by
     (sim desc, vec_id asc), self-matches excluded.
     """
-    cents = embeddings.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    # the n_centroids SMALLEST ids (not `id < n_centroids`, which silently
+    # yields fewer or zero centroids for non-dense / non-zero-based id
+    # spaces); tiny by construction, so the sort-limit is negligible
+    cents = (
+        embeddings.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     cells = _nearest_centroid(embeddings, cents, id_col, vec_col)
     pcells = _nearest_centroid(
@@ -275,5 +284,6 @@ def ivf_topk(
     scored = cand.select(
         "probe_id", F.col(id_col).alias("vec_id"), sim.alias("sim")
     )
+    scored = scored.where(F.col("sim").isNotNull())  # zero-norm guard
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

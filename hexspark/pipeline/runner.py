@@ -196,12 +196,14 @@ class Runner:
                 )
         # incremental updates require batch-disjoint conv_ids: a conv_id
         # that reappears (e.g. a conversation that gained turns) would keep
-        # its stale signature and cluster. Broadcast semi-join — one cheap
-        # pass over the prior signatures, keyed lookup per row.
+        # its stale signature and cluster. Plain semi-join (no broadcast
+        # hint): AQE broadcasts it when the id set is small and degrades to
+        # a shuffle join for backfill-sized batches instead of OOMing the
+        # driver on an unbounded broadcast collect.
         new_ids = new_transcripts.select("conv_id").distinct()
         overlap = (
             self.io.read("signatures")
-            .join(F.broadcast(new_ids), "conv_id", "left_semi")
+            .join(new_ids, "conv_id", "left_semi")
             .count()
         )
         if overlap:
@@ -226,11 +228,24 @@ class Runner:
             cc_max_iter=cfg.cc_max_iter,
         )
         result.cc_rounds = res["cc_rounds"]
-        # edges first (computed against the still-intact prior tables),
-        # then the two replacements
+        # Write order makes a crashed fold RETRYABLE: edges append, then
+        # clusters, then signatures LAST — the batch-overlap guard reads
+        # signatures, so until the final write lands a retry passes the
+        # guard and re-runs cleanly (merge_clusters is idempotent over a
+        # prior_clusters that already contains the batch; the only residue
+        # of a mid-sequence crash is a duplicated edges append, which
+        # connected components is insensitive to). Every write computes
+        # against still-intact inputs: edges/clusters read the prior
+        # signatures table, which is replaced only after both are durable,
+        # and TableIO.write stages to a tmp dir before the swap.
         self.io.append(res["edges"], "edges")
-        self.io.write(res["signatures"], "signatures")
         self.io.write(res["clusters"], "clusters")
+        self.io.write(res["signatures"], "signatures")
+        # release the intermediates incremental_update persisted — a
+        # CacheManager entry is never freed without an explicit unpersist,
+        # and a long-lived app folds many batches through this path
+        for df in (res["edges"], res["new_signatures"]):
+            df.unpersist()
         wall = timer.wall_ms()
         for stage in ("signatures", "clusters", "edges"):
             out = self.io.read(stage)

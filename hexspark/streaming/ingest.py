@@ -17,13 +17,12 @@ a per-checkpoint fold record in the workdir (the standard
 idempotent-foreachBatch pattern — epoch ids are only meaningful relative
 to one checkpoint, so the record is keyed by it). A replay of a fully
 folded epoch is skipped; a replay of an epoch that crashed mid-fold uses
-the clusters table (the fold's final write) as the completion witness:
-all batch conv_ids present → only the record write was lost, skip; none
-present → re-run the fold (at worst the edges append duplicates, which
-connected components is insensitive to); the one window two separate
-table replacements cannot self-heal (signatures updated, clusters not)
-raises a precise operator error — with Iceberg in production all three
-writes share one transaction and the window disappears.
+the signatures table (the fold's FINAL write, by the runner's retryable
+write order) as the completion witness: all batch conv_ids present →
+only the record write was lost, skip; otherwise re-run the fold, which
+the runner's write order makes safe (the overlap guard still passes and
+the recompute is idempotent; at worst the edges append duplicates, which
+connected components is insensitive to).
 
 At scale this is the right shape: each micro-batch pays cost proportional
 to the batch (incremental blocking never generates the old-old quadrant),
@@ -98,37 +97,21 @@ def make_fold_batch(runner: Runner, fold_key: str = "default"):
             if _routes_incremental(runner):
                 # Replay of an epoch that crashed between the fold and the
                 # record write. run_incremental writes edges (append), then
-                # signatures, then clusters — each replace atomic on its
-                # own. The CLUSTERS table (last write) is the completion
-                # witness: all batch ids present → the fold finished and
-                # only the record write was lost → skip. None present →
-                # the fold never reached the table writes → re-run (at
-                # worst the edges append duplicates, which connected
-                # components is insensitive to). Signatures updated but
-                # clusters not is the one narrow window two separate table
-                # writes cannot self-heal — surface it precisely instead
-                # of letting the batch-overlap guard produce a confusing
-                # error (with Iceberg in production the three writes share
-                # one transaction and this window disappears).
+                # clusters, then signatures LAST — signatures is therefore
+                # the completion witness: all batch ids present → the fold
+                # finished and only the record write was lost → skip. Not
+                # all present → re-running is safe by the runner's write
+                # order (it passes the overlap guard and recomputes
+                # idempotently; the only residue is a duplicated edges
+                # append, which connected components is insensitive to).
                 batch_ids = batch_df.select("conv_id").distinct()
                 n_batch = batch_ids.count()
-
-                def known_in(stage: str) -> int:
-                    return (
-                        runner.io.read(stage)
-                        .join(F.broadcast(batch_ids), "conv_id", "left_semi")
-                        .count()
-                    )
-
-                if known_in("clusters") != n_batch:
-                    if known_in("signatures") == n_batch:
-                        raise RuntimeError(
-                            f"epoch {epoch_id}: prior fold crashed between "
-                            "the signatures and clusters replacements; the "
-                            "workdir needs the clusters table restored from "
-                            "the previous snapshot (or a fresh batch run) "
-                            "before the stream can resume"
-                        )
+                n_known = (
+                    runner.io.read("signatures")
+                    .join(F.broadcast(batch_ids), "conv_id", "left_semi")
+                    .count()
+                )
+                if n_known != n_batch:
                     runner.run_incremental(batch_df)
             else:
                 runner.run(batch_df)
