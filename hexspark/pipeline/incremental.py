@@ -277,9 +277,22 @@ def merge_clusters(
         new_edges.select("conv_id_a", "conv_id_b")
     )
     cc, rounds = clustering.connected_components(all_edges, max_iter=cc_max_iter)
-    merged_nodes = affected.select("conv_id").union(new_ids.select("conv_id"))
+    # distinct: on a crash-RETRY of a partially-applied fold the prior
+    # clusters already contain the batch's nodes, so affected ∪ new_ids
+    # would list them twice and with_singletons would emit duplicate
+    # singleton rows (the affected set is batch-scale, so this is cheap)
+    merged_nodes = (
+        affected.select("conv_id").union(new_ids.select("conv_id")).distinct()
+    )
     merged = clustering.with_singletons(cc, merged_nodes)
-    untouched = prior_clusters.join(touched, "cluster_id", "left_anti")
+    # anti-join on new_ids as well: a no-op when the batch is disjoint from
+    # the prior corpus (the normal contract), but on a crash-RETRY of a
+    # partially-applied fold the prior clusters already contain the batch,
+    # and an edge-less batch singleton would otherwise be emitted both here
+    # and by the singleton union below
+    untouched = prior_clusters.join(touched, "cluster_id", "left_anti").join(
+        new_ids.select("conv_id"), "conv_id", "left_anti"
+    )
     # the left_anti join on cluster_id moves the key column to the front of
     # the schema; pin the canonical (conv_id, cluster_id) order so the table
     # is positionally identical to the batch path's (set ops like exceptAll

@@ -248,3 +248,42 @@ def test_incremental_matches_full_batch_randomized(spark):
         finally:
             for df in persisted:
                 df.unpersist()
+
+
+def test_run_incremental_retry_after_partial_fold(spark, tmp_path):
+    """Crash-retry property of the runner's write order (edges, clusters,
+    signatures LAST): a fold that died after the edges append and clusters
+    replacement but BEFORE the signatures replacement must be safely
+    retryable — the overlap guard still passes (signatures lack the batch)
+    and the retry converges to the same clusters as the full batch run,
+    with at worst duplicated edge rows (which clustering ignores)."""
+    from hexspark.pipeline.runner import PipelineConfig, Runner
+
+    workdir = str(tmp_path / "wd")
+    tr = fixtures.transcripts_df(spark, n_base=120, seed=21, mutation_rate=0.01).cache()
+    ids = tr.select("conv_id").distinct().where(F.pmod(F.xxhash64("conv_id"), F.lit(4)) != 0)
+    tr_old = tr.join(ids, "conv_id", "left_semi")
+    tr_new = tr.join(ids, "conv_id", "left_anti")
+
+    runner = Runner(spark, workdir, PipelineConfig(max_dist=MAX_DIST))
+    runner.run(tr_old)
+
+    # simulate the crashed fold: apply the first two writes only
+    res = incremental.incremental_update(
+        tr_new, runner.io.read("signatures"), runner.io.read("clusters"),
+        max_dist=MAX_DIST,
+    )
+    runner.io.append(res["edges"], "edges")
+    runner.io.write(res["clusters"], "clusters")
+    # signatures intentionally NOT written — the crash point
+
+    # retry through the public surface must succeed (no overlap error)
+    runner.run_incremental(tr_new)
+
+    _, clusters_full = _batch_clusters(spark, tr)
+    want = {(r.conv_id, r.cluster_id) for r in clusters_full.collect()}
+    got_df = runner.io.read("clusters")
+    got = {(r.conv_id, r.cluster_id) for r in got_df.collect()}
+    assert got == want
+    assert got_df.count() == len(got)  # no duplicate assignments
+    tr.unpersist()
