@@ -521,7 +521,16 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # formatting ambiguity in the value-hash, no session-tz dependence
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # Exact decimal accumulation: double summation is order-dependent
+        # and Spark's partial-agg order varies with partitioning, so a raw
+        # SUM(double) can flip the 4th decimal between environments (the one
+        # red row of round 2). Decimal(38,9) holds every events.value exactly
+        # (values are small, few fractional digits), the sum is exact and
+        # associative, rounding is then deterministic; cast back to double
+        # keeps the published schema unchanged.
+        F.round(F.sum(F.col("value").cast("decimal(38,9)")), 4)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -1019,7 +1028,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_events,
                    epoch_us(MIN(ts))::BIGINT AS start_us,
                    epoch_us(MAX(ts))::BIGINT AS end_us,
-                   round(SUM(value), 4) AS sum_value
+                   round(SUM(CAST(value AS DECIMAL(38,9))), 4)::DOUBLE AS sum_value
             FROM numbered GROUP BY user_id, session_seq
         """,
         "top_orders_per_customer": """

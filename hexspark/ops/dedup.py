@@ -156,7 +156,8 @@ def minhash_pairs(
     brows = sig_b.select(
         "id", "bhs", "banned", F.posexplode("bhs").alias("band", "bv")
     )
-    low_bits = F.expr("shiftleft(1L, band) - 1")
+    # ANSI-safe bits-[0,band) mask; see pipeline/blocking.py (band=63 case)
+    low_bits = F.expr("~ shiftleft(-1L, band)")
 
     def match_mask(a_col, b_col):
         expr = None

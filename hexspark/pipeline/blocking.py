@@ -162,7 +162,11 @@ def banded_with_skew_gate(
     — checkpointed RDD blocks are freed by the ContextCleaner once the
     plan is garbage collected, so repeated calls in a long-lived
     application do not accumulate cache entries. It is tiny by
-    construction (one row per >max_block block).
+    construction (one row per >max_block block). Trade-off: localCheckpoint
+    truncates lineage, so on a real cluster losing the executor holding
+    these (tiny, replicated-in-memory) blocks fails the job instead of
+    recomputing — acceptable for a <KB side-table, but a deployment with a
+    configured checkpoint dir should prefer reliable checkpoint() here.
 
     Returns (sigs_b = sigs_c + banned column, oversize, has_oversize,
     block_stats).
@@ -255,7 +259,12 @@ def candidate_pairs_wide(
         *[f"c{i}" for i in range(N_CHUNKS)],
         F.posexplode(band_vals).alias("band_id", "band_val"),
     )
-    low_bits = F.expr("shiftleft(1L, band_id) - 1")
+    # bits [0, band_id): pure bit expression — `shiftleft(1L, band_id) - 1`
+    # overflows under ANSI mode at band_id=63 (1<<63 = Long.MinValue, the -1
+    # then underflows), so n_bands=64 would fail at runtime. bitwise_not of
+    # a -1 shifted left has no arithmetic step: ~(-1 << 0) = 0, ~(-1 << 63)
+    # = 2^63 - 1.
+    low_bits = F.expr("~ shiftleft(-1L, band_id)")
 
     # ---- normal branch: band rows whose own block is not oversize -------
     # (blocks of size 1 pass through; they produce no join output and are

@@ -91,7 +91,8 @@ def incremental_candidate_pairs_wide(
         *[f"c{i}" for i in range(N_CHUNKS)],
         F.posexplode(band_vals).alias("band_id", "band_val"),
     )
-    low_bits = F.expr("shiftleft(1L, band_id) - 1")
+    # ANSI-safe bits-[0,band_id) mask; see blocking.py (n_bands=64 case)
+    low_bits = F.expr("~ shiftleft(-1L, band_id)")
 
     # ---- normal branch: non-oversize blocks, A side must be new ---------
     kept = bands.where(F.expr("(shiftright(banned, band_id) & 1) = 0"))

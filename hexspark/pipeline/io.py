@@ -96,8 +96,13 @@ class TableIO:
             from pyspark.sql.functions import bucket, col
 
             ident = f"{self.catalog}.{self.namespace}.{name}"
+            # bucket-transform EVERY bucket column so multi-column callers
+            # get the same co-location semantics as the parquet path's
+            # bucketBy(n, *cols) (previously only cols[0] was bucketed,
+            # silently diverging between backends)
+            transforms = [bucket(n_buckets, col(c)) for c in bucket_cols]
             df.writeTo(ident).partitionedBy(
-                bucket(n_buckets, col(bucket_cols[0]))
+                transforms[0], *transforms[1:]
             ).createOrReplace()
             return ident
         ident = f"hexspark_bucketed_{name}"

@@ -111,6 +111,20 @@ def make_fold_batch(runner: Runner, fold_key: str = "default"):
                     .join(F.broadcast(batch_ids), "conv_id", "left_semi")
                     .count()
                 )
+                if n_known == n_batch and epoch_id != last_done + 1:
+                    # All ids already folded, but the fold record rules out
+                    # a crash replay: a lost record write can only lose the
+                    # epoch IMMEDIATELY after last_done. A later epoch whose
+                    # conversations all exist is the source re-delivering
+                    # old data — the contract violation the runner's
+                    # overlap guard exists to catch. Raise instead of
+                    # silently masking it with the witness skip.
+                    raise RuntimeError(
+                        f"stream epoch {epoch_id} re-delivers only already-"
+                        f"folded conv_ids but is not a replay of epoch "
+                        f"{last_done + 1}: upstream source re-delivered old "
+                        "conversations (exactly-once contract violation)"
+                    )
                 if n_known != n_batch:
                     runner.run_incremental(batch_df)
             else:

@@ -233,3 +233,50 @@ def test_randomized_exactly_once_and_connectivity(spark):
 
         assert components(emitted) == components(want_pairs), (trial, max_block)
         pairs.unpersist()
+
+
+def test_n_bands_64_ansi_safe(spark):
+    """ADVICE r2 (medium): `shiftleft(1L, band_id) - 1` overflowed under
+    ANSI mode at band_id=63, so n_bands=64 — the config _match_mask
+    explicitly supports — failed at runtime. The mask is now a pure bit
+    expression (bitwise_not(shiftleft(-1L, band_id))). This test runs both
+    the normal branch AND the oversize/banned branch (identical sigs ban
+    every band incl. 63, putting Long.MinValue through the banned-mask sum)
+    at n_bands=64 and checks the band oracle / connectivity still hold."""
+    import random
+
+    rng = random.Random(64)
+    # normal branch: planted group agreeing on the last 4-bit band only
+    base = rng.getrandbits(256)
+    rows = [(f"p{i}", _hex((base & 0xF) | (rng.getrandbits(252) << 4))) for i in range(4)]
+    rows += [(f"r{i:02d}", _hex(rng.getrandbits(256))) for i in range(20)]
+    sigs = _sigs_df(spark, rows)
+    pairs, _ = blocking.candidate_pairs(sigs, n_bands=64, max_block=2000)
+    got = {(r.conv_id_a, r.conv_id_b) for r in pairs.collect()}
+    bands = blocking.band_projection(sigs, n_bands=64)
+    a, b = bands.alias("a"), bands.alias("b")
+    want = {
+        (r.x, r.y)
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .select(F.col("a.conv_id").alias("x"), F.col("b.conv_id").alias("y"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) >= 6  # planted group => >= C(4,2) pairs
+
+    # oversize branch: identical sigs -> all 64 bands oversize, banned mask
+    # has bit 63 set; chain must still connect the block into one component
+    mega = _sigs_df(spark, [(f"m{i:03d}", _hex(0x5A5A)) for i in range(40)])
+    mpairs, mstats = blocking.candidate_pairs(mega, n_bands=64, max_block=10)
+    mpairs = mpairs.persist()
+    assert mstats.where("skipped").count() == 64
+    assert mpairs.groupBy("conv_id_a", "conv_id_b").count().where("count > 1").count() == 0
+    cc, _ = clustering.connected_components(mpairs)
+    comp = cc.agg(F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n")).collect()[0]
+    assert comp["k"] == 1 and comp["n"] == 40
+    mpairs.unpersist()

@@ -129,3 +129,35 @@ def test_crash_before_record_write_recovers(spark, tmp_path):
     }
     assert after == before
     assert _load_fold_state(workdir)["default"]["done_epoch"] == 1
+
+def test_stale_redelivery_raises_not_masked(spark, tmp_path):
+    """ADVICE r2: a genuinely NEW epoch whose conv_ids are all already
+    folded is a source re-delivering old conversations, not a crash
+    replay (a lost record write can only lose epoch last_done+1). The
+    witness check must raise instead of silently skipping it."""
+    import pytest
+
+    from hexspark.pipeline.runner import Runner
+    from hexspark.streaming.ingest import make_fold_batch
+
+    workdir = str(tmp_path / "wd")
+    tr = fixtures.transcripts_df(spark, n_base=30, seed=13, mutation_rate=0.01)
+    ids = tr.select("conv_id").distinct().where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    tr_a = tr.join(ids, "conv_id", "left_semi")
+    tr_b = tr.join(ids, "conv_id", "left_anti")
+
+    runner = Runner(spark, workdir, CFG)
+    fold = make_fold_batch(runner)
+    fold(tr_a, 0)  # bootstrap
+    fold(tr_b, 1)  # incremental
+    # epoch 5 (NOT last_done+1) re-delivers tr_b's conversations wholesale
+    with pytest.raises(RuntimeError, match="re-delivers"):
+        fold(tr_b, 5)
+    # the legitimate crash-replay window (epoch last_done+1) still skips
+    from hexspark.streaming.ingest import _load_fold_state, _save_fold_state
+
+    state = _load_fold_state(workdir)
+    state["default"] = {"done_epoch": 0}
+    _save_fold_state(workdir, state)
+    fold(tr_b, 1)  # witness skip, no raise
+    assert _load_fold_state(workdir)["default"]["done_epoch"] == 1
