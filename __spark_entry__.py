@@ -189,7 +189,16 @@ def q_cluster_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hexspark import columns as C
     from hexspark.pipeline.clustering import connected_components
 
-    f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    # oracle-corpus cut (doc_id % 3 == 0): the edge set here is an
+    # all-pairs-per-lang DEMO construction for the DuckDB recursive-CTE
+    # oracle, not a scale path — the cut keeps the driver sweep cheap while
+    # still exercising multi-node components (production edges come from
+    # LSH blocking, see pipeline/blocking.py)
+    f = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    )
     a, b = f.alias("a"), f.alias("b")
     edges = (
         a.join(
@@ -222,7 +231,12 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hexspark.pipeline.clustering import connected_components, with_singletons
     from hexspark.pipeline.incremental import merge_clusters
 
-    f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    # same oracle-corpus cut as cluster_match_edges (see its docstring)
+    f = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    )
     a, b = f.alias("a"), f.alias("b")
     edges = (
         a.join(
@@ -726,7 +740,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_match_edges": f"""
             WITH RECURSIVE
-            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
             me AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
               FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -747,7 +761,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle is the SAME min-label propagation over the full edge set
         "incremental_merge": f"""
             WITH RECURSIVE
-            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
             me AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
               FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id

@@ -71,6 +71,22 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    def best_of(fn, n: int = 3) -> float:
+        """One untimed warmup + best of n timed fresh-plan passes. The r2
+        bench timed each driver query once, cold, inside one long-lived
+        session — JIT/heap state drift between rounds produced 2-4x
+        phantom swings (ann_topk, match_edges) on unchanged query text.
+        Best-of-n on a warm session is the same steady-state methodology
+        the scaling harness uses; each pass re-invokes fn so the plan is
+        rebuilt fresh (no result/plan caching across passes)."""
+        fn()
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
     # --- ER pipeline over synthetic transcripts scaled to SF ---------------
     n_base = max(int(20000 * sf), 200)
     # materialize the input before the pipeline timer: generation is
@@ -176,9 +192,11 @@ def main() -> None:
     extras["pairs_scored_per_sec"] = round(total_bulk / timings["scoring_hybrid"], 1)
 
     # --- driver-contract queries over testdata ------------------------------
+    # warmup + best-of-3 per query (see best_of): regression signal, not
+    # session-state noise
     qs = entrymod.queries()
     for name in ("hamming_pairs", "match_edges", "minhash_pairs", "ann_topk", "exact_dedup"):
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+        timings[name] = best_of(lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
 
@@ -191,9 +209,7 @@ def main() -> None:
         if name in timings:
             driver_queries[name] = timings[name]
             continue
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        driver_queries[name] = round(time.monotonic() - t0, 3)
+        driver_queries[name] = best_of(lambda f=fn: f(spark, sf_dir).count())
     extras["driver_queries_sec"] = driver_queries
     extras["driver_queries_total_sec"] = round(sum(driver_queries.values()), 3)
     # Host-interference context: this sandbox VM shows bursty hypervisor

@@ -13,6 +13,15 @@ cluster, setting
 switches every stage write to `df.writeTo('lake.<ns>.<table>')
 .createOrReplace()` with no code change. Writes are atomic-by-rename for
 parquet (write to tmp dir, rename) to keep resume semantics safe.
+
+Runtime-jar status (checked 2026-08-18): no iceberg-spark-runtime jar
+exists anywhere on this sandbox image (searched / and the pyspark jars
+dir) and the sandbox has no network route to Maven Central
+(`Name or service not known`), so the Iceberg branch cannot be executed
+against a real catalog here. It is contract-tested against a duck-typed
+fake catalog in tests/test_io_iceberg.py (probe, writeTo/partitionedBy/
+bucket-transform call shapes, read-back, exists) — the strongest evidence
+available without the jar.
 """
 
 from __future__ import annotations
