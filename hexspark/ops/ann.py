@@ -220,11 +220,14 @@ def lsh_topk(
 
 
 def _nearest_centroid(
-    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n: int = 1
 ) -> DataFrame:
-    """Assign every row to its nearest centroid by cosine (ties broken by
-    centroid id). One broadcast of the tiny centroid table, one narrow
-    scoring pass, one row_number window keyed on the row id."""
+    """Assign every row to its ``n`` nearest centroids by cosine (ties
+    broken by centroid id); n=1 is cell assignment, n>1 is multi-cell
+    probing. One broadcast of the tiny centroid table, one narrow scoring
+    pass, one row_number window keyed on the row id. For n>1 the output has
+    n rows per input row — still an equi-join fan-out downstream, never a
+    rescan of the corpus."""
     sim = cosine_sim(F.col(vec_col), F.col("cent_vec"))
     scored = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col), F.col(vec_col), F.col("cent_id"), sim.alias("csim")
@@ -232,7 +235,7 @@ def _nearest_centroid(
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= n)
         .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
     )
 
@@ -242,6 +245,7 @@ def ivf_topk(
     probes: DataFrame,
     k: int = 5,
     n_centroids: int = 8,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -249,11 +253,18 @@ def ivf_topk(
     lsh_topk): vectors are assigned to the nearest of ``n_centroids``
     DETERMINISTIC centroids — the embeddings with the smallest ids, so a
     SQL oracle can mirror the quantizer exactly with no k-means RNG state
-    to ship — and each probe exact-re-ranks only its own cell (n_probe=1).
+    to ship — and each probe exact-re-ranks its ``n_probe`` nearest cells.
+
+    n_probe > 1 is the standard IVF recall lever: a true neighbor that
+    landed just across a cell boundary is recovered by also searching the
+    probe's runner-up cells. The plan cost is exactly proportional — the
+    probe side explodes into n_probe rows before the SAME cell equi-join
+    (cells are disjoint per vector, so no candidate dedup is needed), and
+    the re-rank touches ~n_probe/n_centroids of the corpus per probe.
 
     Scale shape: the centroid table is a broadcast (assignment is one
     narrow pass over the corpus — no shuffle), the probe-to-candidate join
-    is an equi-join on the cell id, and the re-rank touches ~1/n_centroids
+    is an equi-join on the cell id, and the re-rank touches a cell fraction
     of the corpus per probe instead of all of it. Swapping the id-based
     centroids for trained k-means centroids changes recall, not the plan.
 
@@ -276,6 +287,7 @@ def ivf_topk(
         cents,
         id_col,
         vec_col,
+        n=n_probe,
     ).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"), "cell"
     )
