@@ -325,16 +325,49 @@ def candidate_pairs_wide(
     payload = F.struct("conv_id", "canon", "banned", *chunk_names)
 
     wg = Window.partitionBy("band_id", "band_val", "salt").orderBy(*order_cols)
-    adjacent = (
-        over.withColumn("nb", F.lead(payload).over(wg))
-        .withColumn("rn", F.row_number().over(wg))
+    adjacent = over.withColumn("nb", F.lead(payload).over(wg))
+    # Cross-group links must survive the downstream SCORING gate, not just
+    # connect candidates: a true near-dup cluster fills its blocks with
+    # (near-)identical signatures, but unrelated rows that merely collide
+    # into the block on this one band sit in the same salt groups. With one
+    # representative per group (the old design), a collider picked as rep
+    # breaks the rep chain post-gate — rep-rep links at hamming ~128 never
+    # pass max_dist, and the cluster's groups disconnect (found by
+    # scripts/skew_bench.py). Fix: one rep per (group, DISTINCT SIGNATURE)
+    # — each group's sig-run is contiguous in the group chain and its first
+    # member becomes the run's rep — and the rep chain is sorted by
+    # signature, so all reps of an identical-sig cluster are mutually
+    # adjacent (hamming-0 links) regardless of which colliders share the
+    # block. Cost: #reps = Σ_g distinct sigs in g ≤ block size; for real
+    # mega-blocks (low-entropy/boilerplate content) distinct sigs ≪ size.
+    # Worst case (all sigs distinct) the rep window degrades to one sorted
+    # task over the block — the case where chain links matter least, since
+    # all-distinct random sigs fail the gate anyway.
+    wgs = Window.partitionBy("band_id", "band_val", "salt", *chunk_names).orderBy(
+        "conv_id"
     )
-    reps = adjacent.where(F.col("rn") == 1).drop("nb", "rn")
-    wr = Window.partitionBy("band_id", "band_val").orderBy("salt")
+    reps = (
+        adjacent.withColumn("srn", F.row_number().over(wgs))
+        .where(F.col("srn") == 1)
+        .drop("nb", "srn")
+    )
+    wr = Window.partitionBy("band_id", "band_val").orderBy(*order_cols)
     rep_pairs = reps.withColumn("nb", F.lead(payload).over(wr))
-    chain_src = adjacent.drop("rn").unionByName(
-        rep_pairs, allowMissingColumns=False
-    ).where(F.col("nb").isNotNull())
+    # A singleton sig-run's rep link can coincide with the group chain's
+    # adjacent link (both connect the same two members in the same band).
+    # Dedup HERE on plain columns — both sources emit the pair in the same
+    # ascending-sig orientation, so (band, own id, neighbor id) is a key.
+    # Deduping after the wide pair projection instead would wrap every
+    # swap-CASE chunk expression in a First() aggregate, which blows up
+    # Catalyst's optimizer fixed-point (measured: minutes of driver time
+    # on a 40-row block).
+    chain_src = (
+        adjacent.unionByName(rep_pairs, allowMissingColumns=False)
+        .where(F.col("nb").isNotNull())
+        .withColumn("_nb_id", F.col("nb.conv_id"))
+        .dropDuplicates(["band_id", "band_val", "conv_id", "_nb_id"])
+        .drop("_nb_id")
+    )
 
     swap = F.col("nb.conv_id") < F.col("conv_id")
     chain_rows = chain_src.select(

@@ -60,13 +60,17 @@ def incremental_candidate_pairs_wide(
        emitted once via ``a.id < b.id OR NOT b.is_new`` (new-new pairs once
        in canonical order, new-old pairs once with the new side on A; the
        old-old quadrant — the bulk of the corpus — is never generated).
-    2. Oversize blocks (banned bands) chain only their NEW members, plus one
-       bridge pair from the first new chain representative to the block's
-       minimum OLD member. Old members of an oversize block are already
-       mutually connected by the prior run (either the block was small then
-       — all pairs were generated — or it was oversize then and got its own
-       chain), so one bridge reconnects the new chain to the existing
-       cluster with O(new) pairs.
+    2. Oversize blocks (banned bands) chain old and new members TOGETHER in
+       signature order — one rep per (salt group, distinct signature), rep
+       chain sorted by signature, same post-gate-robust construction as the
+       batch path (see the connectivity comment in blocking.py) — but only
+       chain pairs with >= 1 new side are emitted. Old members of an
+       oversize block are already mutually connected by the prior run's
+       clusters, so dropping old-old chain links loses nothing; new members
+       connect to the existing cluster through signature-adjacent old
+       members (hamming-0 links for identical-sig mega blocks), which
+       survive the scoring gate where an arbitrary new-rep-to-min-old
+       bridge (the previous design) could fail it.
 
     Block sizes and banned masks are computed over the COMBINED corpus —
     the same sizes the equivalent full batch run would see, which is what
@@ -142,11 +146,9 @@ def incremental_candidate_pairs_wide(
     if not has_oversize:
         return normal.select(*out_cols), block_stats
 
-    # ---- chain branch: oversize blocks — chain new members + one bridge -
+    # ---- chain branch: oversize blocks — combined old+new sig-order chain
     over = (
-        bands.where(
-            F.expr("(shiftright(banned, band_id) & 1) = 1") & F.col("is_new")
-        )
+        bands.where(F.expr("(shiftright(banned, band_id) & 1) = 1"))
         .join(
             F.broadcast(oversize.select("band_id", "band_val", "block_size")),
             ["band_id", "band_val"],
@@ -161,43 +163,33 @@ def incremental_candidate_pairs_wide(
     )
     chunk_names = [f"c{i}" for i in range(N_CHUNKS)]
     order_cols = [*chunk_names, "conv_id"]
-    payload = F.struct("conv_id", "canon", "banned", *chunk_names)
+    payload = F.struct("conv_id", "canon", "banned", "is_new", *chunk_names)
 
     wg = Window.partitionBy("band_id", "band_val", "salt").orderBy(*order_cols)
-    adjacent = (
-        over.withColumn("nb", F.lead(payload).over(wg))
-        .withColumn("rn", F.row_number().over(wg))
+    adjacent = over.withColumn("nb", F.lead(payload).over(wg))
+    wgs = Window.partitionBy("band_id", "band_val", "salt", *chunk_names).orderBy(
+        "conv_id"
     )
-    reps = adjacent.where(F.col("rn") == 1).drop("nb", "rn")
-    wr = Window.partitionBy("band_id", "band_val").orderBy("salt")
+    reps = (
+        adjacent.withColumn("srn", F.row_number().over(wgs))
+        .where(F.col("srn") == 1)
+        .drop("nb", "srn")
+    )
+    wr = Window.partitionBy("band_id", "band_val").orderBy(*order_cols)
     rep_pairs = reps.withColumn("nb", F.lead(payload).over(wr))
 
-    # bridge: first new representative of the block <-> minimum OLD member
-    # of the block. The old side is picked with a row_number window (NOT a
-    # min_by aggregate — a struct-buffered aggregate would put a
-    # SortAggregate on the path; the window sorts only the oversize-block
-    # rows, which are few by construction, exactly like the chain windows).
-    wo = Window.partitionBy("band_id", "band_val").orderBy("conv_id")
-    old_min = (
-        bands.where(
-            F.expr("(shiftright(banned, band_id) & 1) = 1") & ~F.col("is_new")
-        )
-        .join(F.broadcast(oversize.select("band_id", "band_val")),
-              ["band_id", "band_val"])
-        .withColumn("ro", F.row_number().over(wo))
-        .where(F.col("ro") == 1)
-        .select("band_id", "band_val", payload.alias("nb"))
-    )
-    first_new = reps.withColumn(
-        "rb", F.row_number().over(Window.partitionBy("band_id", "band_val").orderBy("salt"))
-    ).where(F.col("rb") == 1).drop("rb")
-    bridge = first_new.join(old_min, ["band_id", "band_val"])
-
     chain_src = (
-        adjacent.drop("rn")
-        .unionByName(rep_pairs)
-        .unionByName(bridge)
+        adjacent.unionByName(rep_pairs)
         .where(F.col("nb").isNotNull())
+        # incremental constraint: never emit old-old (their connectivity is
+        # the prior run's job); everything else mirrors the batch chain
+        .where(F.col("is_new") | F.col("nb.is_new"))
+        # singleton sig-run rep links can coincide with in-group adjacent
+        # links; dedup on PLAIN columns here — see the blocking.py comment
+        # on why deduping the projected pairs instead melts the optimizer
+        .withColumn("_nb_id", F.col("nb.conv_id"))
+        .dropDuplicates(["band_id", "band_val", "conv_id", "_nb_id"])
+        .drop("_nb_id")
     )
     cswap = F.col("nb.conv_id") < F.col("conv_id")
 

@@ -161,3 +161,63 @@ def test_stale_redelivery_raises_not_masked(spark, tmp_path):
     _save_fold_state(workdir, state)
     fold(tr_b, 1)  # witness skip, no raise
     assert _load_fold_state(workdir)["default"]["done_epoch"] == 1
+
+
+def test_continuous_mode_soak_with_midstream_restart(spark, tmp_path):
+    """VERDICT r2 #7: the fold stream under the REAL trigger loop, not just
+    availableNow drains. A continuous query (processing-time trigger,
+    maxFilesPerTrigger=1) folds two files as epochs 0/1, is stopped
+    mid-stream, and a NEW query on the same checkpoint resumes and folds
+    two more files as epochs 2/3. Final cluster table must equal one full
+    batch run over everything ever streamed — evidencing checkpoint-resume
+    through Spark's own offset log rather than our drain helper."""
+    import time
+
+    src = str(tmp_path / "incoming")
+    workdir = str(tmp_path / "workdir")
+    os.makedirs(src)
+
+    tr = fixtures.transcripts_df(spark, n_base=80, seed=21, mutation_rate=0.01).cache()
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    splits = []
+    for i in range(4):
+        ids = tr.select("conv_id").distinct().where(part == i)
+        splits.append(tr.join(ids, "conv_id", "left_semi"))
+
+    def wait_for_epoch(n, timeout=300):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            state = _load_fold_state(workdir)
+            for rec in state.values():
+                if rec.get("done_epoch", -1) >= n:
+                    return
+            time.sleep(1)
+        raise AssertionError(f"epoch {n} not folded within {timeout}s: "
+                             f"{_load_fold_state(workdir)}")
+
+    splits[0].coalesce(1).write.mode("append").parquet(src)
+    splits[1].coalesce(1).write.mode("append").parquet(src)
+    q = fold_transcript_stream(spark, src, workdir, config=CFG, available_now=False)
+    try:
+        wait_for_epoch(1)
+    finally:
+        q.stop()  # mid-stream kill: offsets live only in the checkpoint
+    q.awaitTermination()
+
+    splits[2].coalesce(1).write.mode("append").parquet(src)
+    splits[3].coalesce(1).write.mode("append").parquet(src)
+    q2 = fold_transcript_stream(spark, src, workdir, config=CFG, available_now=False)
+    try:
+        wait_for_epoch(3)
+    finally:
+        q2.stop()
+    q2.awaitTermination()
+
+    got_df = spark.read.parquet(os.path.join(workdir, "clusters"))
+    got = {(r.conv_id, r.cluster_id) for r in got_df.collect()}
+    want = {
+        (r.conv_id, r.cluster_id)
+        for r in _full_batch_clusters(spark, tr).collect()
+    }
+    assert got == want
+    assert got_df.count() == len(got)
