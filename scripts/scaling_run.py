@@ -156,8 +156,14 @@ def run_level(cluster_url: str, cores: int, zpath: str, n_base: int,
         return json.load(f)
 
 
-def hardware_control() -> dict:
-    """K independent numpy burn processes: the machine's own scaling."""
+def hardware_control(trials: int = 3) -> dict:
+    """K independent numpy burn processes: the machine's own scaling.
+
+    Multi-trial: same-day repeats of this control have measured 8->32
+    efficiency anywhere from 0.76 to 1.01 (the hypervisor's burstiness
+    moves the 32-proc aggregate by ~20%), so a single number over- or
+    under-states the ceiling; the report carries the median plus the
+    min..max band."""
     burn = (
         "import numpy as np, time\n"
         "a = np.random.rand(4096); b = np.random.rand(4096)\n"
@@ -166,16 +172,28 @@ def hardware_control() -> dict:
         "    (a * b + a).sum(); n += 4096\n"
         "print(n / (time.monotonic() - t0))\n"
     )
-    out = {}
-    for k in (8, 32):
-        procs = [
-            subprocess.Popen([sys.executable, "-c", burn], stdout=subprocess.PIPE)
-            for _ in range(k)
-        ]
-        vals = [float(p.communicate()[0]) for p in procs]
-        out[k] = sum(vals) / 1e6
-    out["efficiency_8_to_32"] = out[32] / (4 * out[8])
-    return out
+    runs = []
+    for _ in range(trials):
+        out = {}
+        for k in (8, 32):
+            procs = [
+                subprocess.Popen([sys.executable, "-c", burn], stdout=subprocess.PIPE)
+                for _ in range(k)
+            ]
+            vals = [float(p.communicate()[0]) for p in procs]
+            out[k] = sum(vals) / 1e6
+        out["efficiency_8_to_32"] = out[32] / (4 * out[8])
+        runs.append(out)
+    effs = sorted(r["efficiency_8_to_32"] for r in runs)
+    med = runs[[r["efficiency_8_to_32"] for r in runs].index(effs[len(effs) // 2])]
+    return {
+        8: med[8],
+        32: med[32],
+        "efficiency_8_to_32": effs[len(effs) // 2],
+        "efficiency_min": effs[0],
+        "efficiency_max": effs[-1],
+        "trials": [round(e, 3) for e in effs],
+    }
 
 
 def render_report(n_base: int, pairs_target: int, low_pairs: int, reps: int) -> dict:
@@ -234,14 +252,16 @@ ladder. Low-occupancy control (1 x 2-core vs 4 x 2-core executors,
 
 The criterion targets N -> 4N *executors*, i.e. 4x the nodes of a real
 cluster. On this single-box sandbox, a saturated 8->32-core run conflates
-engine scaling with the machine's own full-occupancy ceiling (the hardware
-control below: even 32 independent numpy processes with no
-JVM/Spark lose ~{100*(1-hw['efficiency_8_to_32']):.0f}% per-core at 32
-busy cores — on a real cluster the added executors bring their own dies
-and memory channels). The primary ladder therefore holds per-executor
-shape fixed (2 cores) and quadruples executor count with the machine far
-below saturation, which is the closest single-box analogue of adding
-nodes; the saturated run is reported below as the single-box control.
+engine scaling with the machine's own full-occupancy behavior: hypervisor
+burstiness puts a ~20% run-to-run error bar on any saturated measurement
+(the hardware control below has read 0.76..1.02 across same-day runs),
+and co-locating all 4N executors on one die contends LLC/memory bandwidth
+that a real cluster's added nodes would bring with them (measured: ~19%
+per-task CPU-time inflation at 32 threads with zero GC/steal/idle). The
+primary ladder therefore holds per-executor shape fixed (2 cores) and
+quadruples executor count with the machine far below saturation, which is
+the closest single-box analogue of adding nodes; the saturated run is
+reported below as the single-box control.
 
 | cluster size | pairs/s | vs N | efficiency |
 |---|---|---|---|
@@ -265,7 +285,9 @@ slow ~19% per core at full 32-thread occupancy with zero GC / steal /
 idle — an LLC/memory-bandwidth effect of co-locating all executors on one
 die, not a property of the job's plan: no shuffle, no lock, no driver
 round-trip in the measured stage). Scaled by the hardware ceiling
-({hw['efficiency_8_to_32']:.2f}), the engine's own saturated efficiency is
+(median {hw['efficiency_8_to_32']:.2f}, measured range
+{hw.get('efficiency_min', hw['efficiency_8_to_32']):.2f}..{hw.get('efficiency_max', hw['efficiency_8_to_32']):.2f}),
+the engine's own saturated efficiency is
 ~{min(eff_bulk / hw['efficiency_8_to_32'], 1.0):.2f}.
 """
 
@@ -399,6 +421,41 @@ build/incremental_bench.json).
 
 """
 
+    skew_section = ""
+    skew_path = os.path.join(REPO, "build", "skew_bench.json")
+    if os.path.exists(skew_path):
+        with open(skew_path) as f:
+            sk = json.load(f)
+        rows = "\n".join(
+            f"| {r['n_mega']:,} | {r['n_pairs']:,} | "
+            f"{r['allpairs_counterfactual']:,} | {r['total_wall_sec']} | "
+            f"{r['cc_rounds']} |"
+            for r in sk["runs"]
+        )
+        g = sk["growth"]
+        skew_section = f"""## Adversarial skew: mega-block cost is O(size), not O(size^2)
+
+One planted block of M members sharing the SAME signature (agrees on
+every LSH band — the worst case for banding) over {sk['runs'][0]['n_bg']:,}
+background rows; salt-chain path, max_block={sk['runs'][0]['max_block']}
+(scripts/skew_bench.py; end-to-end = blocking -> scoring gate -> connected
+components, asserting the mega-cluster is recovered as ONE component of
+exactly M members):
+
+| mega size M | pairs emitted | all-pairs counterfactual | wall s | cc rounds |
+|---|---|---|---|---|
+{rows}
+
+Doubling M multiplies emitted pairs by {g[0]['pairs_ratio']}x then
+{g[1]['pairs_ratio']}x (marginal cost: ~1 pair per added member) and wall
+time by {g[0]['wall_ratio']}x / {g[1]['wall_ratio']}x, against the 4x per
+doubling an all-pairs block would cost — the skew subplan is linear in
+block size while preserving cluster connectivity THROUGH the scoring gate
+(chain links between identical signatures are hamming-0). Raw:
+build/skew_bench.json.
+
+"""
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — N vs 4N executor scaling evidence
@@ -431,14 +488,26 @@ on the ~10% of pairs inside the gate).
 ## Hardware control — what this single box can scale at all
 
 32 independent CPU-bound numpy processes (L1-resident multiply-add, no
-JVM, no Spark, no shared state) reach {hw['efficiency_8_to_32']:.2f}
-efficiency from 8 to 32 processes ({hw[8]:,.0f}M -> {hw[32]:,.0f}M
-ops/s): the VM itself loses ~{100*(1-hw['efficiency_8_to_32']):.0f}% of
-per-core throughput at full occupancy. Any job measured at 32 busy cores
-on this box inherits that ceiling; a real 4-node cluster would not.
+JVM, no Spark, no shared state) scale from 8 to 32 processes at
+**{hw['efficiency_8_to_32']:.2f} median efficiency** across
+{len(hw.get('trials', [1]))} same-session trials, band
+{hw.get('efficiency_min', hw['efficiency_8_to_32']):.2f}..{hw.get('efficiency_max', hw['efficiency_8_to_32']):.2f}
+(median trial: {hw[8]:,.0f}M -> {hw[32]:,.0f}M ops/s; same-day
+measurements across sessions have ranged 0.76..1.02). Two readings:
+(1) the band's width is hypervisor burstiness — identical runs draw
+ceilings ~20% apart, so any single saturated measurement on this box
+carries that error bar; (2) the burn is L1-resident, so even its
+good-day ~1.0 does NOT clear the resource a columnar JVM job contends
+for at full occupancy — LLC and memory bandwidth, where the measured
+~19% per-task CPU-time inflation at 32 threads (zero GC/steal/idle)
+lives. Both effects are properties of co-locating all 4N executors on
+one die; a real 4-node cluster adds dies and memory channels with its
+executors. This is exactly why the low-occupancy ladder is the primary
+criterion evidence: it keeps the machine far from the saturation regime
+so the engine's own scaling is what's measured.
 
 {pipe_scaling}
-{inc_section}## Reference comparator
+{inc_section}{skew_section}## Reference comparator
 
 Reference single-core baseline (BASELINE.md): ~10.3M pairs/s for one bare
 C `hamming_distance` call at 64 hex chars on a 2020 i5. The distributed
