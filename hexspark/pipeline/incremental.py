@@ -241,14 +241,22 @@ def merge_clusters(
     new_ids(conv_id) — all conversations of the new batch (for singleton
     emission).
 
-    Connected components runs ONLY over the affected subgraph: prior
-    assignments whose cluster is touched by a new edge (as star edges
-    member->root, which are already near-converged for CC) plus the new
-    edges. Untouched prior clusters stream through an anti-join unchanged —
+    Connected components runs ONLY over the CONDENSED affected subgraph:
+    each new-edge endpoint is mapped to its prior cluster root (itself if it
+    is a new node), so CC sees one node per touched prior CLUSTER plus the
+    new nodes — not one node per affected member. A prior cluster of any
+    size costs CC exactly one node, and collapsing member->root star paths
+    lowers the merged graph's diameter, so CC both sees less data and
+    converges in fewer rounds than folding the raw member-level star edges
+    in. Members are re-expanded afterwards with one join (prior root -> new
+    root). Untouched prior clusters stream through an anti-join unchanged —
     no CC iteration ever sees them, so per-batch cost scales with the
-    batch, not the corpus. cluster_id stays min(member) after merges: CC
-    canonicalizes to the component minimum, and merging components can only
-    re-minimize over the union.
+    batch, not the corpus.
+
+    cluster_id stays min(member) after merges: every prior root is the min
+    of its members, so the min over a merged component's {roots ∪ new node
+    ids} equals the min over all its members ∪ new ids, and CC canonicalizes
+    to exactly that component minimum.
 
     Returns (clusters, cc_rounds) covering all prior conv_ids plus new_ids.
     """
@@ -263,13 +271,56 @@ def merge_clusters(
         .distinct()
     )
     affected = prior_clusters.join(touched, "cluster_id")
-    star_edges = affected.where(F.col("conv_id") != F.col("cluster_id")).select(
-        F.col("conv_id").alias("conv_id_a"), F.col("cluster_id").alias("conv_id_b")
+    # condense: rewrite each new-edge endpoint to its prior root; new nodes
+    # (absent from prior_clusters) keep their own id. Broadcast-eligible —
+    # the root map is restricted to endpoints of the batch's edges.
+    end_roots = prior_clusters.join(ends, "conv_id").withColumnRenamed(
+        "cluster_id", "root"
     )
-    all_edges = star_edges.unionByName(
+    root_edges = (
         new_edges.select("conv_id_a", "conv_id_b")
+        .join(
+            end_roots.select(
+                F.col("conv_id").alias("conv_id_a"), F.col("root").alias("root_a")
+            ),
+            "conv_id_a",
+            "left",
+        )
+        .join(
+            end_roots.select(
+                F.col("conv_id").alias("conv_id_b"), F.col("root").alias("root_b")
+            ),
+            "conv_id_b",
+            "left",
+        )
+        .select(
+            F.coalesce("root_a", "conv_id_a").alias("conv_id_a"),
+            F.coalesce("root_b", "conv_id_b").alias("conv_id_b"),
+        )
     )
-    cc, rounds = clustering.connected_components(all_edges, max_iter=cc_max_iter)
+    root_cc, rounds = clustering.connected_components(root_edges, max_iter=cc_max_iter)
+    # re-expand: members of a touched prior cluster follow their root's new
+    # assignment; roots whose cluster was touched but absorbed no new edge
+    # (possible when the batch edge lands inside one prior cluster → a
+    # root self-loop that CC drops) keep their own root via the coalesce.
+    cc = (
+        affected.join(
+            root_cc.select(
+                F.col("conv_id").alias("cluster_id"),
+                F.col("cluster_id").alias("new_root"),
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "conv_id", F.coalesce("new_root", "cluster_id").alias("cluster_id")
+        )
+        .unionByName(
+            # new nodes that carry an edge: their root-level assignment IS
+            # their member-level assignment (they have no prior members)
+            root_cc.join(prior_clusters.select("conv_id"), "conv_id", "left_anti")
+        )
+    )
     # distinct: on a crash-RETRY of a partially-applied fold the prior
     # clusters already contain the batch's nodes, so affected ∪ new_ids
     # would list them twice and with_singletons would emit duplicate
