@@ -312,14 +312,14 @@ def q_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEMO_EDGE_CACHE: dict = {}
 
 
-def _demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared per-lang all-pairs hamming edge set (dist<=50, doc_id%3==0 cut)
-    consumed by BOTH q_cluster_match_edges and q_incremental_merge. Built
-    once per (session, sf_dir) and kept persisted — the two queries are
-    demos for the DuckDB recursive-CTE clustering oracle, and rebuilding the
-    identical all-pairs edge set per query was the driver sweep's single
-    largest line item. Keyed on the SparkSession object so a fresh session
-    (the cache's persisted plan dies with its session) rebuilds cleanly."""
+def _demo_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-lang all-pairs hamming pair set (dist<=80 kept, doc_id%3==0
+    cut) consumed by q_cluster_match_edges, q_incremental_merge AND
+    q_pairwise_f1. Built once per (session, sf_dir) and kept persisted — the
+    consumers are demos for DuckDB oracles, and rebuilding the identical
+    all-pairs pair set per query was the driver sweep's single largest line
+    item. Keyed on the SparkSession object so a fresh session (the cache's
+    persisted plan dies with its session) rebuilds cleanly."""
     from hexspark import columns as C
 
     key = (id(spark._jsparkSession), sf_dir)
@@ -332,20 +332,32 @@ def _demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", _md5(F.col("text")).alias("h"))
     )
     a, b = f.alias("a"), f.alias("b")
-    edges = (
+    pairs = (
         a.join(
             b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
-        .where(C.hamming_hex(F.col("a.h"), F.col("b.h")) <= 50)
         .select(
-            F.col("a.doc_id").alias("conv_id_a"), F.col("b.doc_id").alias("conv_id_b")
+            F.col("a.doc_id").alias("conv_id_a"),
+            F.col("b.doc_id").alias("conv_id_b"),
+            C.hamming_hex(F.col("a.h"), F.col("b.h")).alias("dist"),
         )
+        .where(F.col("dist") <= 80)
         .persist()
     )
-    edges.count()
+    pairs.count()
     _DEMO_EDGE_CACHE.clear()  # at most one live entry; drop stale sessions
-    _DEMO_EDGE_CACHE[key] = edges
-    return edges
+    _DEMO_EDGE_CACHE[key] = pairs
+    return pairs
+
+
+def _demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-edge view of the shared demo pair set: dist<=50 (the threshold
+    the recursive-CTE clustering oracles mirror)."""
+    return (
+        _demo_scored_pairs(spark, sf_dir)
+        .where(F.col("dist") <= 50)
+        .select("conv_id_a", "conv_id_b")
+    )
 
 
 def q_cluster_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,6 +725,95 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops/temporal.asof_join), DuckDB-oracled against its
+    native ASOF LEFT JOIN: every click event picks up the value of the same
+    user's most recent purchase at-or-before it, or nulls when none exists.
+    Spark has no as-of built-in; the operator is the union + ordered-window
+    formulation — ONE hash exchange on user_id, no inequality join — so at
+    100 TB it costs the same envelope as any window aggregate. (user_id, ts)
+    is unique in the events table, satisfying the as-of right-side
+    determinism contract."""
+    from hexspark.ops.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        ).alias("click_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        "matched_ts_us",
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (ops/temporal.interval_join), DuckDB-oracled
+    against a plain inequality join: each purchase opens a window of
+    1 + event_id % 5 hours; every same-user click inside [start, end) pairs
+    with it. The operator buckets time so Spark's physical plan is an
+    EQUI-join on (user_id, hour_bucket) + exact range filter — never the
+    broadcast-nested-loop plan the naive theta join degenerates to —
+    emitting each pair exactly once (a point lies in one bucket)."""
+    from hexspark.ops.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.expr("timestampadd(HOUR, cast(1 + event_id % 5 AS int), ts)").alias(
+            "end_ts"
+        ),
+    )
+    pt = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pt_id"), "user_id", F.col("ts").alias("pt_ts")
+    )
+    out = interval_join(
+        pt, iv, key="user_id", point_ts="pt_ts", start_ts="start_ts",
+        end_ts="end_ts", bucket_us=3_600_000_000,
+    )
+    return out.select("iv_id", "pt_id", "user_id")
+
+
+def q_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 evaluation, DuckDB-oracled end-to-end: pairwise precision/recall/
+    F1 of the hamming-CC clustering against a tighter 'truth' threshold.
+    Universe = the shared demo pair set (per-lang, doc_id%3==0 cut);
+    candidates = pairs at dist<=80, labels is_match = dist<=40, predicted =
+    same component under CC over dist<=50 edges. Thresholds differ on
+    purpose so tp/fp/fn are all non-zero and the F1 arithmetic (not just the
+    joins) is value-checked. The oracle recomputes the clustering with the
+    recursive min-label CTE and counts the same sets in SQL."""
+    from hexspark.pipeline.clustering import connected_components
+    from hexspark.pipeline.evaluate import pairwise_f1_df
+
+    pairs = _demo_scored_pairs(spark, sf_dir)
+    cand = pairs.where(F.col("dist") <= 80).select("conv_id_a", "conv_id_b")
+    labels = pairs.where(F.col("dist") <= 80).select(
+        "conv_id_a", "conv_id_b", (F.col("dist") <= 40).alias("is_match")
+    )
+    cc, _ = connected_components(_demo_edges(spark, sf_dir))
+    out = pairwise_f1_df(labels, cc, candidate_pairs=cand)
+    return out.select(
+        "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable SimHash twin (fingerprint semantics, B3 family):
     md5-based 256-bit SimHash over documents, pure Catalyst expressions,
@@ -831,6 +932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "event_sessions": q_event_sessions,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "pairwise_f1": q_pairwise_f1,
         "simhash_sql": q_simhash_sql,
         "simhash_prod": q_simhash_prod,
         "pipeline_signatures": q_pipeline_signatures,
@@ -1227,6 +1331,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_custkey, c_name, n_name, o_orderkey, o_totalprice, rank
             FROM ranked WHERE rank <= 2
+        """,
+        # DuckDB's native ASOF LEFT JOIN: greatest r.ts <= l.ts per key,
+        # inclusive on equality — exactly the operator's contract
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, value AS purchase_value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id,
+                   epoch_us(l.ts) AS click_ts_us,
+                   round(r.purchase_value, 4) AS purchase_value,
+                   epoch_us(r.ts) AS matched_ts_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join": """
+            WITH iv AS (
+              SELECT event_id AS iv_id, user_id, ts AS s,
+                     ts + to_hours((1 + event_id % 5)::BIGINT) AS e
+              FROM events WHERE event_type = 'purchase'),
+            pt AS (
+              SELECT event_id AS pt_id, user_id, ts AS t
+              FROM events WHERE event_type = 'click')
+            SELECT iv.iv_id, pt.pt_id, iv.user_id AS user_id
+            FROM iv JOIN pt
+              ON iv.user_id = pt.user_id AND pt.t >= iv.s AND pt.t < iv.e
+        """,
+        # same universe/label/edge thresholds as q_pairwise_f1; clustering
+        # is the recursive min-label CTE, counts and F1 arithmetic in SQL
+        "pairwise_f1": f"""
+            WITH RECURSIVE
+            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+            pairs AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, {d('a.h', 'b.h')} AS dist
+              FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE {d('a.h', 'b.h')} <= 80),
+            me AS (SELECT ia, ib FROM pairs WHERE dist <= 50),
+            sym AS (SELECT ia AS n, ib AS m FROM me
+                    UNION SELECT ib, ia FROM me),
+            reach AS (
+              SELECT n, m FROM sym
+              UNION
+              SELECT reach.n, sym.m FROM reach JOIN sym ON reach.m = sym.n
+              WHERE sym.m <> reach.n
+            ),
+            cl AS (SELECT n AS id, least(n, min(m)) AS cluster_id
+                   FROM reach GROUP BY n),
+            pred AS (
+              SELECT p.ia, p.ib FROM pairs p
+              JOIN cl x ON p.ia = x.id JOIN cl y ON p.ib = y.id
+              WHERE x.cluster_id = y.cluster_id),
+            pos AS (SELECT ia, ib FROM pairs WHERE dist <= 40),
+            counts AS (
+              SELECT
+                (SELECT count(*) FROM pred JOIN pos USING (ia, ib))::BIGINT AS tp,
+                (SELECT count(*) FROM pred ANTI JOIN pos USING (ia, ib))::BIGINT AS fp,
+                (SELECT count(*) FROM pos ANTI JOIN pred USING (ia, ib))::BIGINT AS fn)
+            SELECT tp, fp, fn,
+                   round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 1.0 END, 6) AS precision,
+                   round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 1.0 END, 6) AS recall,
+                   round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 1.0 END)
+                            + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 1.0 END) > 0
+                         THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 1.0 END)
+                                * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 1.0 END)
+                              / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 1.0 END)
+                               + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 1.0 END))
+                         ELSE 0.0 END, 6) AS f1
+            FROM counts
         """,
         "simhash_sql": """
             WITH toks AS (

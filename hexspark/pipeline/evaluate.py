@@ -17,18 +17,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pairwise_f1(
+def pairwise_f1_df(
     labeled_pairs: DataFrame,
     clusters: DataFrame,
     candidate_pairs: DataFrame | None = None,
-) -> dict[str, float]:
-    """labeled_pairs(conv_id_a, conv_id_b, is_match) × clusters(conv_id,
-    cluster_id) → {precision, recall, f1, tp, fp, fn}.
+) -> DataFrame:
+    """In-plan variant of :func:`pairwise_f1`: same joins, no collect —
+    returns a ONE-ROW DataFrame (tp, fp, fn, precision, recall, f1) so the
+    evaluation can be a stage inside a larger plan, a driver-oracled query,
+    or a sink in its own right. ``pairwise_f1`` delegates here, so the two
+    surfaces cannot diverge.
 
-    Positives predicted = same cluster_id on both sides. If candidate_pairs
-    is given, labeled positives are restricted to pairs at a shared blocking
-    key (BASELINE.json's evaluation universe) and predicted positives are
-    the candidate pairs whose endpoints share a cluster.
+    Zero-denominator conventions match the dict variant: precision/recall
+    default to 1.0 when their denominator is 0, f1 to 0.0 when p+r = 0.
     """
     labels = labeled_pairs.select("conv_id_a", "conv_id_b", "is_match")
     if candidate_pairs is not None:
@@ -62,21 +63,48 @@ def pairwise_f1(
         ["conv_id_a", "conv_id_b"],
         "full_outer",
     )
-    row = merged.agg(
+    counts = merged.agg(
         F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNotNull(), 1)).alias("tp"),
         F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNull(), 1)).alias("fp"),
         F.count(F.when(F.col("_pred").isNull() & F.col("_pos").isNotNull(), 1)).alias("fn"),
-    ).collect()[0]
-    tp, fp, fn = int(row["tp"]), int(row["fp"]), int(row["fn"])
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(1.0))
+    return (
+        counts.withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("tp", "fp", "fn", "precision", "recall", "f1")
+    )
 
-    precision = tp / (tp + fp) if tp + fp else 1.0
-    recall = tp / (tp + fn) if tp + fn else 1.0
-    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+
+def pairwise_f1(
+    labeled_pairs: DataFrame,
+    clusters: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+) -> dict[str, float]:
+    """labeled_pairs(conv_id_a, conv_id_b, is_match) × clusters(conv_id,
+    cluster_id) → {precision, recall, f1, tp, fp, fn}.
+
+    Positives predicted = same cluster_id on both sides. If candidate_pairs
+    is given, labeled positives are restricted to pairs at a shared blocking
+    key (BASELINE.json's evaluation universe) and predicted positives are
+    the candidate pairs whose endpoints share a cluster.
+    """
+    row = pairwise_f1_df(labeled_pairs, clusters, candidate_pairs).collect()[0]
     return {
-        "precision": precision,
-        "recall": recall,
-        "f1": f1,
-        "tp": float(tp),
-        "fp": float(fp),
-        "fn": float(fn),
+        "precision": float(row["precision"]),
+        "recall": float(row["recall"]),
+        "f1": float(row["f1"]),
+        "tp": float(row["tp"]),
+        "fp": float(row["fp"]),
+        "fn": float(row["fn"]),
     }
