@@ -814,6 +814,46 @@ def q_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_bounds() -> list[int]:
+    """Exact integer hash-range boundaries for _SPLIT_WEIGHTS — computed
+    with the SAME float accumulation ops/sampling.split_assign uses, so the
+    SQL oracle embeds bit-identical thresholds."""
+    from hexspark.ops.sampling import _HASH_MAX
+
+    total = sum(_SPLIT_WEIGHTS.values())
+    bounds, acc = [], 0.0
+    for name in list(_SPLIT_WEIGHTS)[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        bounds.append(int(acc * _HASH_MAX))
+    return bounds
+
+
+def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable train/val/test assignment (ops/sampling.split_assign),
+    DuckDB-oracled: every doc_id maps to a split by cutting the 48-bit
+    md5-hash range — same key, same split, on any engine, any partitioning,
+    any table size (df.sample can't promise any of that). Pure codegen
+    projection: no shuffle, survives a 100-TB scan as a filter."""
+    from hexspark.ops.sampling import split_assign
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return split_assign(docs, "doc_id", _SPLIT_WEIGHTS, salt="s0")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language sample (ops/sampling.stratified_sample_n),
+    DuckDB-oracled: bottom-20 of a uniform key hash within each stratum —
+    deterministic reservoir semantics with no RNG state. One hash exchange
+    on lang + per-partition top-n, the same envelope as any window top-k."""
+    from hexspark.ops.sampling import stratified_sample_n
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample_n(docs, strata="lang", key="doc_id", n_per_stratum=20)
+
+
 def q_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable SimHash twin (fingerprint semantics, B3 family):
     md5-based 256-bit SimHash over documents, pure Catalyst expressions,
@@ -935,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "pairwise_f1": q_pairwise_f1,
+        "sample_splits": q_sample_splits,
+        "stratified_sample": q_stratified_sample,
         "simhash_sql": q_simhash_sql,
         "simhash_prod": q_simhash_prod,
         "pipeline_signatures": q_pipeline_signatures,
@@ -1357,6 +1399,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT iv.iv_id, pt.pt_id, iv.user_id AS user_id
             FROM iv JOIN pt
               ON iv.user_id = pt.user_id AND pt.t >= iv.s AND pt.t < iv.e
+        """,
+        # bit-identical 48-bit md5 hash + the exact integer boundaries
+        # split_assign computes (embedded via _split_bounds)
+        "sample_splits": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 12))::BIGINT AS hv
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN hv < {_split_bounds()[0]} THEN 'train'
+                        WHEN hv < {_split_bounds()[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        "stratified_sample": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 12))::BIGINT AS hv
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+              FROM h)
+            SELECT doc_id, lang FROM r WHERE rn <= 20
         """,
         # same universe/label/edge thresholds as q_pairwise_f1; clustering
         # is the recursive min-label CTE, counts and F1 arithmetic in SQL
