@@ -162,6 +162,57 @@ def test_multimodal_compressed_decode_is_honestly_stubbed(spark):
     assert len(rows) == 3
 
 
+def test_multimodal_resize_real_pixels(spark):
+    """Resize must do real nearest-neighbor pixel work: the output BMP's
+    pixel array equals the numpy index-map of the input's, and non-image
+    rows pass through byte-identical."""
+    import numpy as np
+
+    media = multimodal.synthetic_media(spark, n=12)
+    inputs = {r["media_id"]: r for r in media.collect()}
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 10, 6).collect()}
+    checked_img = checked_other = 0
+    for mid, m in inputs.items():
+        o = out[mid]
+        if m["kind"] == "image":
+            assert (o["width"], o["height"]) == (10, 6)
+            src = multimodal.decode_bmp_pixels(bytes(m["payload"]))
+            got = multimodal.decode_bmp_pixels(bytes(o["payload"]))
+            h, w, _ = src.shape
+            yi = (np.arange(6) * h) // 6
+            xi = (np.arange(10) * w) // 10
+            assert np.array_equal(got, src[yi][:, xi])
+            checked_img += 1
+        else:
+            assert bytes(o["payload"]) == bytes(m["payload"])
+            checked_other += 1
+    assert checked_img >= 3 and checked_other >= 3
+    with pytest.raises(ValueError):
+        multimodal.resize_images(media, 0, 6)
+
+
+def test_multimodal_audio_frame_sampling(spark):
+    """Frame sampling decodes real PCM and picks evenly-spaced samples;
+    non-audio rows emit nothing."""
+    import numpy as np
+
+    media = multimodal.synthetic_media(spark, n=12)
+    inputs = {r["media_id"]: r for r in media.collect() if r["kind"] == "audio"}
+    rows = multimodal.sample_audio_frames(media, n_frames=8).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(inputs)  # audio rows only
+    for mid, frames in by_media.items():
+        rate, samples = multimodal.decode_wav_samples(bytes(inputs[mid]["payload"]))
+        k = min(8, len(samples))
+        assert len(frames) == k
+        frames.sort(key=lambda r: r["frame_idx"])
+        pos = (np.arange(k, dtype=np.int64) * len(samples)) // k
+        assert [f["amplitude"] for f in frames] == samples[pos].astype(int).tolist()
+        assert [f["t_ms"] for f in frames] == ((pos * 1000) // rate).tolist()
+
+
 def test_multimodal_decode_media_scalar():
     import numpy as np
 
