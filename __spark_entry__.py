@@ -182,6 +182,33 @@ FROM docs d LEFT JOIN hexes h USING (doc_id)
 """
 
 
+def _sql_demo_cc_ctes() -> str:
+    """Shared oracle fragment: the demo corpus cut (doc_id % 3 = 0), its
+    dist<=50 match edges, recursive min-label connected components, and the
+    full record→cluster assignment with singletons (asg). Mirrors
+    _demo_clusters; consumed by the bcubed / survivorship oracles."""
+    d = _sql_hamming128
+    return f"""
+            f AS (SELECT doc_id, lang, text, md5(text) AS h
+                  FROM documents WHERE doc_id % 3 = 0),
+            me AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE {d('a.h', 'b.h')} <= 50),
+            sym AS (SELECT doc_id_a AS n, doc_id_b AS m FROM me
+                    UNION SELECT doc_id_b, doc_id_a FROM me),
+            reach AS (
+              SELECT n, m FROM sym
+              UNION
+              SELECT reach.n, sym.m FROM reach JOIN sym ON reach.m = sym.n
+              WHERE sym.m <> reach.n),
+            cc AS (SELECT n AS doc_id, least(n, min(m))::BIGINT AS cluster_id
+                   FROM reach GROUP BY n),
+            asg AS (SELECT f.doc_id, coalesce(cc.cluster_id, f.doc_id)::BIGINT AS cluster_id,
+                           f.lang, f.text
+                    FROM f LEFT JOIN cc USING (doc_id))"""
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -946,6 +973,179 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "width", "height", "duration_ms")
 
 
+def _demo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC clustering of the shared demo edge set + singletons over the
+    oracle-corpus cut — the cluster table the survivorship / metric queries
+    consume. conv_id / cluster_id are longs (doc_ids)."""
+    from hexspark.pipeline.clustering import connected_components, with_singletons
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    cc, _ = connected_components(_demo_edges(spark, sf_dir))
+    return with_singletons(cc, docs.select(F.col("doc_id").alias("conv_id")))
+
+
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (pipeline/evaluate.bcubed_df) of the
+    hamming-CC clustering against lang as the 'entity' label — the standard
+    per-record ER metric next to pairwise F1 (B12). The DataFrame uses the
+    contingency-cell identity (sum of o²/size over non-empty cells), so the
+    whole metric is one groupBy + two tiny size joins — no per-record
+    window, no pair explosion; per-cell quotients are decimal-rounded
+    before summing so the aggregate is order-independent (the exact failure
+    mode that made round-2's event_sessions red). The oracle recomputes the
+    clustering with the recursive min-label CTE and the same cell sums."""
+    from hexspark.pipeline.evaluate import bcubed_df
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    truth = docs.select(
+        F.col("doc_id").alias("conv_id"), F.col("lang").alias("entity_id")
+    )
+    out = bcubed_df(_demo_clusters(spark, sf_dir), truth, id_col="conv_id")
+    return out.select(
+        "n_records",
+        F.round("bcubed_precision", 6).alias("bcubed_precision"),
+        F.round("bcubed_recall", 6).alias("bcubed_recall"),
+        F.round("bcubed_f1", 6).alias("bcubed_f1"),
+    )
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage quality (pipeline/evaluate.blocking_quality_df): pair
+    completeness / pair quality / reduction ratio of an md5-band LSH blocker
+    against hamming-ball truth labels on the oracle corpus — the numbers
+    that decide whether a blocking configuration is usable BEFORE any
+    scoring runs. One full-outer pair join + one aggregate + a one-row
+    count; the quadratic C(n,2) term is computed from the record count,
+    never materialized."""
+    from hexspark.pipeline.evaluate import blocking_quality_df
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    pairs = _demo_scored_pairs(spark, sf_dir)
+    labeled = pairs.select(
+        "conv_id_a", "conv_id_b", (F.col("dist") <= 40).alias("is_match")
+    )
+    bands = docs.select("doc_id", _md5(F.col("text")).alias("h")).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.substring("h", i * 2 + 1, 2) for i in range(16)])
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("conv_id_a"),
+            F.col("b.doc_id").alias("conv_id_b"),
+        )
+        .distinct()
+    )
+    n_df = docs.agg(F.count(F.lit(1)).alias("n"))
+    out = blocking_quality_df(labeled, cand, n_df)
+    return out.select(
+        "n_candidates",
+        "n_true_matches",
+        "n_covered",
+        "n",
+        F.round("pair_completeness", 6).alias("pair_completeness"),
+        F.round("pair_quality", 6).alias("pair_quality"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+    )
+
+
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level survivorship (pipeline/canonicalize.golden_records):
+    one canonical member per cluster by (longest text, smallest id) — the
+    stage between B9 canonical ids and B10 sinks that makes downstream
+    consumers see one row per entity. One hash exchange on cluster_id + a
+    per-partition top-1 window; the oracle mirrors the recursive-CTE
+    clustering + the same row_number preference."""
+    from hexspark.pipeline.canonicalize import golden_records
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    recs = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    out = golden_records(
+        _demo_clusters(spark, sf_dir), recs, "conv_id",
+        order_by=[F.desc("n_chars")],
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_chars",
+        "n_members",
+    )
+
+
+def q_fused_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-level survivorship (pipeline/canonicalize.fuse_attributes):
+    modal non-null value per cluster per field, smallest-value tiebreak.
+    The count is map-side combinable, so the shuffle carries one row per
+    distinct (cluster, value) — the right envelope when clusters are large
+    and values are few."""
+    from hexspark.pipeline.canonicalize import fuse_attributes
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    recs = docs.select(F.col("doc_id").alias("conv_id"), "lang")
+    out = fuse_attributes(_demo_clusters(spark, sf_dir), recs, "conv_id", ["lang"])
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"), "fused_lang"
+    )
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (pipeline/snm) — the second classic
+    blocking family next to LSH banding: every pair within 4 positions of
+    the text-prefix sort order. The global rank is built WITHOUT the
+    single-partition row_number collapse (range exchange → tiny offset
+    table → per-partition window), and pairs meet in exactly one
+    rank-bucket equi-join — the plan survives a 10^12-row sort where
+    `row_number() OVER (ORDER BY ...)` dies on one task."""
+    from hexspark.pipeline.snm import sorted_neighborhood_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", F.substring("text", 1, 12), window=4
+    )
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-Jaccard self-join via prefix filtering (ops/setjoin,
+    AllPairs/PPJoin family) — near-dup pairs with no all-pairs comparison
+    and none of MinHash's approximation: candidates only need to share a
+    PREFIX token (the record's rarest tokens under global document
+    frequency), which is lossless for Jaccard >= t, then the exact Jaccard
+    is verified. The oracle computes the same pairs the brute-force way
+    (join on any shared token) — equality IS the losslessness proof.
+
+    Corpus cut (doc_id % 8 == 1): the synthetic documents table is
+    pathologically self-similar (~19%% of ALL pairs exceed Jaccard 0.9 at
+    sf0.1), so every similarity-join family degenerates toward quadratic
+    OUTPUT on it — the cut keeps the demo's result set bounded; the
+    operator itself prunes by prefix frequency and scales on real corpora
+    where near-dup density is low."""
+    from hexspark.ops.setjoin import prefix_jaccard_join
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 8 == 1)
+        .select("doc_id", "text")
+    )
+    out = prefix_jaccard_join(docs, "doc_id", F.col("text"), threshold=0.9)
+    return out.select(
+        "doc_id_a", "doc_id_b", "inter", "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hamming_pairs": q_hamming_pairs,
@@ -984,6 +1184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
+        "bcubed": q_bcubed,
+        "blocking_quality": q_blocking_quality,
+        "golden_records": q_golden_records,
+        "fused_attributes": q_fused_attributes,
+        "snm_pairs": q_snm_pairs,
+        "prefix_jaccard": q_prefix_jaccard,
     }
 
 
@@ -1501,5 +1707,117 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(toks, x -> x IN ('el','la','de')))::BIGINT AS es_hits,
                    len(list_filter(toks, x -> x IN ('le','la','et')))::BIGINT AS fr_hits
             FROM t
+        """,
+        "bcubed": f"""
+            WITH RECURSIVE
+            {_sql_demo_cc_ctes()},
+            cells AS (SELECT cluster_id, lang AS entity_id, count(*)::BIGINT AS o
+                      FROM asg GROUP BY 1, 2),
+            cs AS (SELECT cluster_id, sum(o)::BIGINT AS c_size FROM cells GROUP BY 1),
+            es AS (SELECT entity_id, sum(o)::BIGINT AS e_size FROM cells GROUP BY 1),
+            agg AS (
+              SELECT sum(o)::BIGINT AS n_records,
+                     sum(round(o * o / c_size, 12)::DECIMAL(32,12)) AS p_,
+                     sum(round(o * o / e_size, 12)::DECIMAL(32,12)) AS r_
+              FROM cells JOIN cs USING (cluster_id) JOIN es USING (entity_id))
+            SELECT n_records,
+                   round(p_::DOUBLE / n_records, 6) AS bcubed_precision,
+                   round(r_::DOUBLE / n_records, 6) AS bcubed_recall,
+                   round(2 * (p_::DOUBLE / n_records) * (r_::DOUBLE / n_records)
+                         / ((p_::DOUBLE / n_records) + (r_::DOUBLE / n_records)),
+                         6) AS bcubed_f1
+            FROM agg
+        """,
+        "blocking_quality": f"""
+            WITH
+            f AS (SELECT doc_id, lang, md5(text) AS h
+                  FROM documents WHERE doc_id % 3 = 0),
+            lab AS (SELECT a.doc_id AS ca, b.doc_id AS cb,
+                           ({_sql_hamming128('a.h', 'b.h')} <= 40) AS is_match
+                    FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                    WHERE {_sql_hamming128('a.h', 'b.h')} <= 80),
+            bands AS (SELECT doc_id, r.band_id AS band_id,
+                             substr(h, (r.band_id*2+1)::INT, 2) AS band_val
+                      FROM f CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r),
+            cand AS (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+                     FROM bands a JOIN bands b
+                       ON a.band_id = b.band_id AND a.band_val = b.band_val
+                          AND a.doc_id < b.doc_id),
+            pos AS (SELECT ca, cb FROM lab WHERE is_match),
+            m AS (SELECT (c.ca IS NOT NULL) AS in_cand, (p.ca IS NOT NULL) AS in_pos
+                  FROM cand c FULL OUTER JOIN pos p ON c.ca = p.ca AND c.cb = p.cb),
+            counts AS (
+              SELECT count(CASE WHEN in_cand THEN 1 END)::BIGINT AS n_candidates,
+                     count(CASE WHEN in_pos THEN 1 END)::BIGINT AS n_true_matches,
+                     count(CASE WHEN in_cand AND in_pos THEN 1 END)::BIGINT AS n_covered
+              FROM m),
+            nn AS (SELECT count(*)::BIGINT AS n FROM f)
+            SELECT n_candidates, n_true_matches, n_covered, n,
+                   round(CASE WHEN n_true_matches > 0
+                              THEN n_covered / n_true_matches ELSE 1.0 END,
+                         6) AS pair_completeness,
+                   round(CASE WHEN n_candidates > 0
+                              THEN n_covered / n_candidates ELSE 1.0 END,
+                         6) AS pair_quality,
+                   round(CASE WHEN n * (n - 1) / 2 > 0
+                              THEN 1 - n_candidates / (n * (n - 1) / 2)
+                              ELSE 0.0 END,
+                         6) AS reduction_ratio
+            FROM counts, nn
+        """,
+        "golden_records": f"""
+            WITH RECURSIVE
+            {_sql_demo_cc_ctes()},
+            rk AS (SELECT cluster_id, doc_id, lang, len(text)::BIGINT AS n_chars,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY len(text) DESC, doc_id) AS rk,
+                          count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+                   FROM asg)
+            SELECT cluster_id, doc_id, lang, n_chars, n_members
+            FROM rk WHERE rk = 1
+        """,
+        "fused_attributes": f"""
+            WITH RECURSIVE
+            {_sql_demo_cc_ctes()},
+            counts AS (SELECT cluster_id, lang, count(*)::BIGINT AS nn
+                       FROM asg WHERE lang IS NOT NULL GROUP BY 1, 2),
+            best AS (SELECT cluster_id, lang AS fused_lang,
+                            row_number() OVER (PARTITION BY cluster_id
+                                               ORDER BY nn DESC, lang) AS rk
+                     FROM counts)
+            SELECT c.cluster_id, b.fused_lang
+            FROM (SELECT DISTINCT cluster_id FROM asg) c
+            LEFT JOIN (SELECT cluster_id, fused_lang FROM best WHERE rk = 1) b
+              USING (cluster_id)
+        """,
+        "snm_pairs": """
+            WITH rk AS (SELECT doc_id,
+                               row_number() OVER (ORDER BY substr(text, 1, 12),
+                                                  doc_id) - 1 AS rank
+                        FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   (b.rank - a.rank)::INT AS rank_gap
+            FROM rk a JOIN rk b
+              ON b.rank - a.rank >= 1 AND b.rank - a.rank <= 3
+        """,
+        "prefix_jaccard": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, t.tok AS tok
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+              WHERE t.tok <> '' AND doc_id % 8 = 1),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY 1),
+            i AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                         count(*)::BIGINT AS inter
+                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            j AS (SELECT i.doc_id_a, i.doc_id_b, i.inter,
+                         sa.sz AS size_a, sb.sz AS size_b,
+                         i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
+                  FROM i JOIN sizes sa ON sa.doc_id = i.doc_id_a
+                         JOIN sizes sb ON sb.doc_id = i.doc_id_b)
+            SELECT doc_id_a, doc_id_b, inter, size_a, size_b,
+                   round(jaccard, 6) AS jaccard
+            FROM j WHERE jaccard >= 0.9
         """,
     }

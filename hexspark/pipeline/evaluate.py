@@ -86,6 +86,146 @@ def pairwise_f1_df(
     )
 
 
+def bcubed_df(clusters: DataFrame, truth: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """B-cubed precision/recall/F1 of a clustering against ground-truth
+    entity labels — the standard per-record ER metric that, unlike pairwise
+    F1, does not let one mega-cluster dominate the score.
+
+    clusters(id_col, cluster_id) × truth(id_col, entity_id) → ONE row
+    (n_records, bcubed_precision, bcubed_recall, bcubed_f1).
+
+    Definition: for record r, precision(r) = |C(r) ∩ E(r)| / |C(r)| and
+    recall(r) = |C(r) ∩ E(r)| / |E(r)|; the score is the mean over records.
+    Scalable identity: summing per record is the same as summing o² / size
+    over the contingency cells (o = |cluster ∩ entity|), so the whole
+    metric is ONE groupBy over the joined assignment (one row per non-empty
+    (cluster, entity) cell — at most one per record) joined against the two
+    tiny size tables. No per-record window, no pair explosion: the shuffle
+    volume is O(records) and the final aggregate is a scalar, so the plan
+    survives a billion-record clustering unchanged.
+
+    Records missing from either side are dropped (inner join): the metric
+    is defined over the co-assigned universe.
+
+    Determinism: the per-cell quotients are rounded to 12 decimals and
+    summed as DECIMAL, not DOUBLE — double summation is order-dependent
+    under Spark's partial aggregation, and a hash-compared result must not
+    flip its last digit with the partitioning. Each quotient is one IEEE
+    division of two exact longs (bit-identical on any engine), so rounding
+    it first makes the whole aggregate order-free at 1e-12 resolution.
+    """
+    asg = clusters.select(id_col, "cluster_id").join(
+        truth.select(id_col, "entity_id"), id_col
+    )
+    cells = asg.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    c_sizes = cells.groupBy("cluster_id").agg(F.sum("o").alias("c_size"))
+    e_sizes = cells.groupBy("entity_id").agg(F.sum("o").alias("e_size"))
+
+    def _q(size_col: str):
+        return F.round(
+            F.col("o") * F.col("o") / F.col(size_col), 12
+        ).cast("decimal(32,12)")
+
+    per_cell = (
+        cells.join(c_sizes, "cluster_id")
+        .join(e_sizes, "entity_id")
+        .agg(
+            F.sum("o").alias("n_records"),
+            F.sum(_q("c_size")).alias("_p"),
+            F.sum(_q("e_size")).alias("_r"),
+        )
+    )
+    n = F.col("n_records")
+    prec = F.when(n > 0, F.col("_p").cast("double") / n).otherwise(F.lit(1.0))
+    rec = F.when(n > 0, F.col("_r").cast("double") / n).otherwise(F.lit(1.0))
+    return (
+        per_cell.withColumn("bcubed_precision", prec)
+        .withColumn("bcubed_recall", rec)
+        .withColumn(
+            "bcubed_f1",
+            F.when(
+                F.col("bcubed_precision") + F.col("bcubed_recall") > 0,
+                2
+                * F.col("bcubed_precision")
+                * F.col("bcubed_recall")
+                / (F.col("bcubed_precision") + F.col("bcubed_recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("n_records", "bcubed_precision", "bcubed_recall", "bcubed_f1")
+    )
+
+
+def blocking_quality_df(
+    labeled_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+    n_records: DataFrame,
+) -> DataFrame:
+    """Blocking-stage quality: the three standard metrics for judging a
+    blocking scheme BEFORE any scoring runs — the numbers that decide
+    whether an LSH/band/SNM configuration is usable at scale.
+
+    labeled_pairs(conv_id_a, conv_id_b, is_match) ×
+    candidate_pairs(conv_id_a, conv_id_b) × n_records (one-row DataFrame
+    with column ``n``) → ONE row:
+
+    * pair_completeness — recall of the candidate set: fraction of true
+      matches that survived blocking (a miss here is unrecoverable — no
+      downstream scorer ever sees the pair).
+    * pair_quality — precision of the candidate set: fraction of candidate
+      pairs that are true matches (how much scoring work is wasted).
+    * reduction_ratio — 1 − |candidates| / C(n,2): how much of the
+      all-pairs quadratic the blocker avoided. The n²/2 term is computed
+      from the record COUNT, never materialized.
+
+    One full-outer join of the two pair sets + one conditional-count
+    aggregate (the same single-action shape as pairwise_f1_df), then a
+    cross join against the one-row count — no pair explosion anywhere.
+    """
+    cand = candidate_pairs.select("conv_id_a", "conv_id_b").withColumn(
+        "_cand", F.lit(1)
+    )
+    pos = (
+        labeled_pairs.where(F.col("is_match"))
+        .select("conv_id_a", "conv_id_b")
+        .withColumn("_pos", F.lit(1))
+    )
+    merged = cand.join(pos, ["conv_id_a", "conv_id_b"], "full_outer")
+    counts = merged.agg(
+        F.count(F.when(F.col("_cand").isNotNull(), 1)).alias("n_candidates"),
+        F.count(F.when(F.col("_pos").isNotNull(), 1)).alias("n_true_matches"),
+        F.count(
+            F.when(F.col("_cand").isNotNull() & F.col("_pos").isNotNull(), 1)
+        ).alias("n_covered"),
+    )
+    nc, nt, cov = F.col("n_candidates"), F.col("n_true_matches"), F.col("n_covered")
+    total_pairs = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        counts.crossJoin(n_records.select(F.col("n").cast("long").alias("n")))
+        .withColumn(
+            "pair_completeness",
+            F.when(nt > 0, cov / nt).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "pair_quality", F.when(nc > 0, cov / nc).otherwise(F.lit(1.0))
+        )
+        .withColumn(
+            "reduction_ratio",
+            F.when(total_pairs > 0, 1 - nc / total_pairs).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "n_candidates",
+            "n_true_matches",
+            "n_covered",
+            "n",
+            "pair_completeness",
+            "pair_quality",
+            "reduction_ratio",
+        )
+    )
+
+
 def pairwise_f1(
     labeled_pairs: DataFrame,
     clusters: DataFrame,

@@ -1,0 +1,137 @@
+"""B4-alt — sorted-neighborhood blocking (SNM) on a scalable global rank.
+
+The second classic blocking family next to LSH banding: sort all records by
+a fuzzy sorting key and emit every pair whose positions in the sorted order
+differ by less than the window size ``w``. Where LSH banding needs a
+similarity-preserving signature, SNM needs only an ORDER — it catches
+near-dups whose edits keep the sort key close (prefix typos, suffix noise)
+and is the standard complement to banding in multi-pass blocking.
+
+Why not ``row_number() OVER (ORDER BY key)``: a window with no PARTITION BY
+collapses the whole table into one partition — the exact single-task
+bottleneck that dies at scale. :func:`global_rank` instead builds the rank
+in three scalable steps:
+
+1. ``repartitionByRange`` on the sort key — one range exchange; partitions
+   are contiguous, ordered key ranges (Spark samples boundaries the same
+   way a sort does).
+2. a TINY per-partition count aggregate (one row per partition) turned
+   into cumulative offsets on the driver-side-sized table.
+3. per-partition ``row_number`` (window partitioned by partition id — no
+   global collapse) + broadcast-joined offset.
+
+This is exactly how Spark's own sort/rank at scale is built (TeraSort
+layout), expressed in DataFrame ops. The rank values are independent of
+where the range boundaries land, so the output is deterministic as long as
+the ordering columns form a total order (callers must include a unique
+tiebreaker — :func:`sorted_neighborhood_pairs` appends the id column).
+
+Pair generation then avoids both a global self-join and a second sort:
+ranks are bucketed at width ``w-1``; the left side duplicates into its own
+bucket and the next one, so every pair with rank gap in [1, w-1] meets in
+EXACTLY one equi-join bucket (the right row's single bucket equals one of
+the left row's two keys) — no distinct needed, shuffle keyed on small
+integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PART = "_snm_part"
+_RANK = "rank"
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    num_partitions: int | None = None,
+    rank_col: str = _RANK,
+) -> DataFrame:
+    """Dense 0-based global rank under ``order_by`` without ever collapsing
+    to one partition. ``order_by`` must be a total order (unique composite)
+    for the result to be deterministic.
+
+    Plan: range exchange → tiny count agg → broadcast offsets →
+    per-partition window. The offsets table has one row per partition
+    (thousands at most), so the cumulative window over it is trivially
+    cheap; everything touching the data itself stays fully parallel.
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    parts = parts.withColumn(_PART, F.spark_partition_id())
+    counts = parts.groupBy(_PART).agg(F.count(F.lit(1)).alias("_cnt"))
+    # one row per partition: the single-partition window here is over the
+    # partition COUNT table, not the data
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy(_PART).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select(_PART, "_off")
+    w = Window.partitionBy(_PART).orderBy(*order_by)
+    return (
+        parts.join(F.broadcast(offs), _PART)
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_off") - 1)
+        .drop(_PART, "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All pairs within a sliding window of ``window`` positions in the
+    order of ``key`` (ties broken by ``id_col``). Returns
+    (<id_col>_a, <id_col>_b, rank_gap) with the lower-ranked record on the
+    a-side; every qualifying pair appears exactly once.
+
+    ``window`` follows the classical definition: records at positions i, j
+    pair iff 0 < j - i < window (window=2 → adjacent pairs only).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    b = window - 1  # max rank gap
+    ranked = global_rank(
+        df.select(F.col(id_col), key.alias("_snm_key")),
+        [F.asc("_snm_key"), F.asc(id_col)],
+        num_partitions=num_partitions,
+    ).select(id_col, _RANK)
+
+    left = ranked.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.col(_RANK).alias("_rank_a"),
+        F.explode(
+            F.array(
+                (F.col(_RANK) / b).cast("long"),
+                (F.col(_RANK) / b).cast("long") + 1,
+            )
+        ).alias("_bkt"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.col(_RANK).alias("_rank_b"),
+        (F.col(_RANK) / b).cast("long").alias("_bkt"),
+    )
+    gap = F.col("_rank_b") - F.col("_rank_a")
+    return (
+        left.join(right, "_bkt")
+        .where((gap >= 1) & (gap <= b))
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            gap.cast("int").alias("rank_gap"),
+        )
+    )
