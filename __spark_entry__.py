@@ -1146,6 +1146,21 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (ops/text.tfidf_top_terms),
+    DuckDB-oracled: explode → map-side-combinable tf/df aggregates →
+    token join + one-row broadcast N → per-doc top-k window. The classic
+    corpus-statistics op of a training-data pipeline, word-count envelope
+    at any scale, no UDF."""
+    from hexspark.ops.text import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "token", "tf", "df", F.round("weight", 6).alias("weight")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hamming_pairs": q_hamming_pairs,
@@ -1190,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_attributes": q_fused_attributes,
         "snm_pairs": q_snm_pairs,
         "prefix_jaccard": q_prefix_jaccard,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1819,5 +1835,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id_a, doc_id_b, inter, size_a, size_b,
                    round(jaccard, 6) AS jaccard
             FROM j WHERE jaccard >= 0.9
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS token
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+              WHERE t.tok <> ''),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            wgt AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                           tf.tf * (ln((n.n + 1) / (dfq.df + 1)) + 1) AS weight
+                    FROM tf JOIN dfq USING (token), n),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY weight DESC, token) AS rk
+                   FROM wgt)
+            SELECT doc_id, token, tf, df, round(weight, 6) AS weight
+            FROM rk WHERE rk <= 3
         """,
     }

@@ -165,3 +165,64 @@ def simhash_sql(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
     )
     return sig
+
+
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Top-k TF-IDF terms per document — the standard lexical feature /
+    keyword-extraction op a training-data pipeline runs over a corpus
+    (reference parity note: the reference kernel library stops at distance
+    predicates; corpus statistics are pipeline-stage territory, like
+    ops/text's other scoring columns).
+
+    tf = term count in the document (lowercased, [^a-z0-9]+ split);
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style);
+    weight = tf * idf; ties broken by token ascending.
+
+    Plan shape, all Catalyst: explode → (doc, token) count aggregate
+    (map-side combinable) → token document-frequency aggregate → join on
+    token (df table is token-cardinality-sized, usually broadcast) → corpus
+    count N attached via a one-row broadcast cross join → per-doc top-k
+    window. The shuffles are keyed on tokens and doc ids — never on pair
+    content — and every aggregate partial-combines, so the plan is the
+    same envelope as any word-count at 100 TB. No UDF anywhere.
+
+    Returns (id_col, token, tf, df, weight) with k rows per document.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+                "token"
+            ),
+        )
+        .where(F.col("token") != "")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    weighted = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "weight",
+            F.col("tf")
+            * (
+                F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("weight"), F.asc("token")
+    )
+    return (
+        weighted.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(id_col, "token", "tf", "df", "weight")
+    )

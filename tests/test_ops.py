@@ -431,3 +431,70 @@ def test_ivf_topk_nprobe_recall(spark, boundary_embeddings):
     for r in ivf2.collect():
         assert abs(bf[(r["probe_id"], r["vec_id"])] - r["sim"]) < 1e-12
     ivf2.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_vs_hand_oracle(spark):
+    import math
+    import re
+
+    from hexspark.ops.text import tfidf_top_terms
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "banana banana cherry",
+        3: "cherry date elderberry date",
+        4: "unique words only here",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["df"], r["weight"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+
+    # hand-computed: tf per doc, df per token, sklearn-smoothed idf
+    tf = {
+        (d, t): len([x for x in re.split(r"[^a-z0-9]+", s.lower()) if x == t])
+        for d, s in corpus.items()
+        for t in set(re.split(r"[^a-z0-9]+", s.lower()))
+        if t
+    }
+    dfreq = {}
+    for (_, t), c in tf.items():
+        if c:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    n = len(corpus)
+    want = {}
+    for d in corpus:
+        terms = [
+            (t, tf[(d, t)], dfreq[t],
+             tf[(d, t)] * (math.log((n + 1) / (dfreq[t] + 1)) + 1))
+            for (dd, t) in tf if dd == d and tf[(d, t)] > 0
+        ]
+        terms.sort(key=lambda x: (-x[3], x[0]))
+        for t, f_, df_, wgt in terms[:2]:
+            want[(d, t)] = (f_, df_, wgt)
+
+    assert set(got) == set(want)
+    for key, (f_, df_, wgt) in want.items():
+        gf, gdf, gw = got[key]
+        assert (gf, gdf) == (f_, df_), key
+        assert gw == pytest.approx(wgt), key
+
+
+def test_tfidf_k_rows_per_doc_and_no_udf(spark):
+    from hexspark.ops.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} common shared tok{i} extra{i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=3)
+    counts = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 3 for r in counts) and len(counts) == 20
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
