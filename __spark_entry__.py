@@ -1161,6 +1161,73 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter demo parameters, shared between the Spark query and its
+# oracle: the log2 weights are computed ONCE here in Python and embedded
+# verbatim (repr round-trips doubles exactly) so both engines fold the
+# identical constants.
+_FS_PARAMS = {
+    "agr_lang": (0.9, 0.25),
+    "agr_near": (0.8, 0.10),
+    "agr_len": (0.7, 0.30),
+}
+
+
+def q_fs_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic pairwise scoring (pipeline/fs), the
+    classical log-likelihood-ratio decision model beside the hamming gate:
+    three boolean agreement fields (same lang, md5-hamming <= 60, text
+    length within 5) weighted by fixed (m, u) and summed — one codegen
+    CASE projection, nothing added to the pair stream's shuffle envelope.
+    EM estimation of (m, u, p) is pytest-pinned (tests/test_fs.py — a
+    driver-side loop over the tiny pattern-count aggregate, not SQL)."""
+    from hexspark import columns as C
+    from hexspark.pipeline.fs import FieldParams, match_weight
+
+    f = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").alias("L"), _md5(F.col("text")).alias("h")
+    )
+    a, b = f.alias("a"), f.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        (F.col("a.lang") == F.col("b.lang")).alias("agr_lang"),
+        (C.hamming_hex(F.col("a.h"), F.col("b.h")) <= 60).alias("agr_near"),
+        (F.abs(F.col("a.L") - F.col("b.L")) <= 5).alias("agr_len"),
+    )
+    params = {c: FieldParams(m=m, u=u) for c, (m, u) in _FS_PARAMS.items()}
+    out = match_weight(pairs, params)
+    return out.select(
+        "doc_id_a", "doc_id_b", "agr_lang", "agr_near", "agr_len",
+        F.round("fs_weight", 6).alias("fs_weight"),
+    )
+
+
+def _sql_fs_match_weights() -> str:
+    """Oracle for q_fs_match_weights: the same agreement predicates and the
+    same python-computed log2 constants (repr-embedded, exact doubles),
+    summed in the same left-to-right order."""
+    import math
+
+    terms = []
+    for col, (m, u) in _FS_PARAMS.items():
+        wa, wd = math.log2(m / u), math.log2((1 - m) / (1 - u))
+        terms.append(f"(CASE WHEN {col} THEN {wa!r} ELSE {wd!r} END)")
+    wsum = " + ".join(terms)
+    return f"""
+        WITH f AS (SELECT doc_id, lang, len(text)::BIGINT AS L,
+                          md5(text) AS h
+                   FROM documents),
+        p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     (a.lang = b.lang) AS agr_lang,
+                     ({_sql_hamming128('a.h', 'b.h')} <= 60) AS agr_near,
+                     (abs(a.L - b.L) <= 5) AS agr_len
+              FROM f a JOIN f b ON b.doc_id = a.doc_id + 1)
+        SELECT doc_id_a, doc_id_b, agr_lang, agr_near, agr_len,
+               round({wsum}, 6) AS fs_weight
+        FROM p
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hamming_pairs": q_hamming_pairs,
@@ -1206,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": q_snm_pairs,
         "prefix_jaccard": q_prefix_jaccard,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "fs_match_weights": q_fs_match_weights,
     }
 
 
@@ -1855,4 +1923,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, round(weight, 6) AS weight
             FROM rk WHERE rk <= 3
         """,
+        "fs_match_weights": _sql_fs_match_weights(),
     }
