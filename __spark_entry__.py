@@ -1202,6 +1202,34 @@ def q_fs_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one bipartite assignment (pipeline/matching.mutual_best_match):
+    even doc_ids link against odd doc_ids within a language at md5-hamming
+    <= 60, and a pair survives iff each side is the other's closest
+    partner (ties by partner id) — the standard cardinality-constrained
+    linkage step after scoring. Two keyed top-1 windows, nothing else; the
+    oracle mirrors both row_number rankings."""
+    from hexspark import columns as C
+    from hexspark.pipeline.matching import mutual_best_match
+
+    f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
+    lft = f.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_id_a"), "lang", F.col("h").alias("ha")
+    )
+    rgt = f.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("doc_id_b"), "lang", F.col("h").alias("hb")
+    )
+    pairs = (
+        lft.join(rgt, "lang")
+        .withColumn("dist", C.hamming_hex("ha", "hb"))
+        .where(F.col("dist") <= 60)
+        .select("doc_id_a", "doc_id_b", "dist")
+    )
+    return mutual_best_match(
+        pairs, "doc_id_a", "doc_id_b", score="dist", descending=False
+    )
+
+
 def _sql_fs_match_weights() -> str:
     """Oracle for q_fs_match_weights: the same agreement predicates and the
     same python-computed log2 constants (repr-embedded, exact doubles),
@@ -1274,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "tfidf_top_terms": q_tfidf_top_terms,
         "fs_match_weights": q_fs_match_weights,
+        "mutual_best": q_mutual_best,
     }
 
 
@@ -1924,4 +1953,20 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE rk <= 3
         """,
         "fs_match_weights": _sql_fs_match_weights(),
+        "mutual_best": f"""
+            WITH f AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+            l AS (SELECT * FROM f WHERE doc_id % 2 = 0),
+            r AS (SELECT * FROM f WHERE doc_id % 2 = 1),
+            p AS (SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                         {_sql_hamming128('l.h', 'r.h')} AS dist
+                  FROM l JOIN r ON l.lang = r.lang
+                  WHERE {_sql_hamming128('l.h', 'r.h')} <= 60),
+            rk AS (SELECT *,
+                          row_number() OVER (PARTITION BY doc_id_a
+                                             ORDER BY dist, doc_id_b) AS rl,
+                          row_number() OVER (PARTITION BY doc_id_b
+                                             ORDER BY dist, doc_id_a) AS rr
+                   FROM p)
+            SELECT doc_id_a, doc_id_b, dist FROM rk WHERE rl = 1 AND rr = 1
+        """,
     }
