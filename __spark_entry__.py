@@ -1230,6 +1230,49 @@ def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking (pipeline/blocking.union_candidates): the union
+    of an LSH banding pass and a sorted-neighborhood pass as ONE
+    exactly-once candidate stream with per-pair pass provenance — the
+    standard recall lever when no single blocking key catches every true
+    match. One dedup exchange on the pair key; each pass keeps its own
+    scalable plan (band equi-join / rank-bucket equi-join)."""
+    from hexspark.pipeline.blocking import union_candidates
+    from hexspark.pipeline.snm import sorted_neighborhood_pairs
+
+    docs = _docs(spark, sf_dir)
+    bands = docs.select("doc_id", _md5(F.col("text")).alias("h")).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.substring("h", i * 2 + 1, 2) for i in range(16)])
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    lsh = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    snm = sorted_neighborhood_pairs(
+        docs.select("doc_id", "text"), "doc_id",
+        F.substring("text", 1, 12), window=4,
+    ).select("doc_id_a", "doc_id_b")
+    out = union_candidates({"lsh": lsh, "snm": snm}, id_a="doc_id_a", id_b="doc_id_b")
+    return out.select(
+        "doc_id_a", "doc_id_b",
+        F.concat_ws(",", "passes").alias("passes"),
+        "n_passes",
+    )
+
+
 def _sql_fs_match_weights() -> str:
     """Oracle for q_fs_match_weights: the same agreement predicates and the
     same python-computed log2 constants (repr-embedded, exact doubles),
@@ -1303,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "fs_match_weights": q_fs_match_weights,
         "mutual_best": q_mutual_best,
+        "multipass_candidates": q_multipass_candidates,
     }
 
 
@@ -1968,5 +2012,29 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY dist, doc_id_a) AS rr
                    FROM p)
             SELECT doc_id_a, doc_id_b, dist FROM rk WHERE rl = 1 AND rr = 1
+        """,
+        "multipass_candidates": """
+            WITH bands AS (
+              SELECT doc_id, r.band_id AS band_id,
+                     substr(md5(text), (r.band_id*2+1)::INT, 2) AS band_val
+              FROM documents CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r),
+            lsh AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                    FROM bands a JOIN bands b
+                      ON a.band_id = b.band_id AND a.band_val = b.band_val
+                         AND a.doc_id < b.doc_id),
+            rk AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY substr(text, 1, 12),
+                                             doc_id) - 1 AS rank
+                   FROM documents),
+            snm AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                    FROM rk a JOIN rk b
+                      ON b.rank - a.rank >= 1 AND b.rank - a.rank <= 3),
+            u AS (SELECT doc_id_a, doc_id_b, 'lsh' AS p FROM lsh
+                  UNION ALL
+                  SELECT doc_id_a, doc_id_b, 'snm' AS p FROM snm)
+            SELECT doc_id_a, doc_id_b,
+                   string_agg(DISTINCT p, ',' ORDER BY p) AS passes,
+                   count(DISTINCT p)::INT AS n_passes
+            FROM u GROUP BY 1, 2
         """,
     }

@@ -401,3 +401,42 @@ def candidate_pairs(
         signatures, n_bands=n_bands, max_block=max_block
     )
     return wide.select("conv_id_a", "conv_id_b"), block_stats
+
+
+def union_candidates(
+    passes: dict[str, DataFrame],
+    id_a: str = "conv_id_a",
+    id_b: str = "conv_id_b",
+) -> DataFrame:
+    """Multi-pass blocking: union the candidate sets of several blockers
+    (LSH banding, sorted-neighborhood, phonetic keys, ...) into ONE
+    exactly-once pair stream with provenance.
+
+    Multi-pass is the standard recall lever when no single blocking key
+    catches every true match — each pass trades its own blind spots, and
+    the union's pair completeness is the OR of the passes'. Returns
+    (id_a, id_b, passes, n_passes) where ``passes`` is the sorted array of
+    contributing pass names — so downstream scoring runs once per pair no
+    matter how many passes emitted it, and the blocking_quality metrics
+    can be computed per pass or for the union from the same table.
+
+    Plan: tag each pass with a literal name, unionByName (no shuffle), one
+    groupBy on the pair key — the same single dedup exchange any candidate
+    stream needs anyway; collect_set over the tiny per-pair name list is
+    map-side combinable.
+    """
+    if not passes:
+        raise ValueError("passes must not be empty")
+    tagged = [
+        df.select(
+            F.col(id_a), F.col(id_b), F.lit(name).alias("_pass")
+        )
+        for name, df in passes.items()
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    return u.groupBy(id_a, id_b).agg(
+        F.array_sort(F.collect_set("_pass")).alias("passes"),
+        F.size(F.collect_set("_pass")).alias("n_passes"),
+    )

@@ -280,3 +280,29 @@ def test_n_bands_64_ansi_safe(spark):
     comp = cc.agg(F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n")).collect()[0]
     assert comp["k"] == 1 and comp["n"] == 40
     mpairs.unpersist()
+
+
+def test_union_candidates_multipass(spark):
+    from hexspark.pipeline.blocking import union_candidates
+
+    lsh = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "conv_id_a string, conv_id_b string"
+    )
+    snm = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("a", "b")],  # dup within one pass too
+        "conv_id_a string, conv_id_b string",
+    )
+    out = union_candidates({"lsh": lsh, "snm": snm})
+    got = {
+        (r["conv_id_a"], r["conv_id_b"]): (list(r["passes"]), r["n_passes"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "b"): (["lsh", "snm"], 2),
+        ("a", "c"): (["lsh"], 1),
+        ("c", "d"): (["snm"], 1),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        union_candidates({})
