@@ -1208,20 +1208,32 @@ def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 60, and a pair survives iff each side is the other's closest
     partner (ties by partner id) — the standard cardinality-constrained
     linkage step after scoring. Two keyed top-1 windows, nothing else; the
-    oracle mirrors both row_number rankings."""
-    from hexspark import columns as C
+    oracle mirrors both row_number rankings. The hamming distance here is
+    the pure-codegen chunk-XOR-popcount form (wide_block_scores' shape),
+    NOT the pandas-UDF kernel: both windows reference `dist`, and a
+    codegen expression re-evaluates for free where a Python UDF would
+    cross the Arrow boundary twice."""
     from hexspark.pipeline.matching import mutual_best_match
 
+    chunks = [
+        F.conv(F.substring("h", i * 8 + 1, 8), 16, 10).cast("long").alias(f"c{i}")
+        for i in range(4)
+    ]
     f = _docs(spark, sf_dir).select("doc_id", "lang", _md5(F.col("text")).alias("h"))
     lft = f.where(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("doc_id_a"), "lang", F.col("h").alias("ha")
+        F.col("doc_id").alias("doc_id_a"), "lang", *chunks
     )
     rgt = f.where(F.col("doc_id") % 2 == 1).select(
-        F.col("doc_id").alias("doc_id_b"), "lang", F.col("h").alias("hb")
+        F.col("doc_id").alias("doc_id_b"), "lang",
+        *[c.alias(f"d{i}") for i, c in enumerate(chunks)],
     )
+    ham = None
+    for i in range(4):
+        term = F.bit_count(F.col(f"c{i}").bitwiseXOR(F.col(f"d{i}")))
+        ham = term if ham is None else ham + term
     pairs = (
         lft.join(rgt, "lang")
-        .withColumn("dist", C.hamming_hex("ha", "hb"))
+        .withColumn("dist", ham.cast("long"))
         .where(F.col("dist") <= 60)
         .select("doc_id_a", "doc_id_b", "dist")
     )
