@@ -115,14 +115,16 @@ def _sql_splitmix_ctes(prefix: str, inexpr: str, keys: list[str]) -> tuple[str, 
     return ",\n".join([s1, s2, s3, s4]), f"{prefix}_d"
 
 
-def _sql_simhash_prod() -> str:
-    """Full production-SimHash oracle over documents (doc_id % 2 = 0 corpus
-    cut to keep the driver pass cheap). Mirrors kernels.hash_tokens_utf8 /
-    simhash256_from_utf8 exactly: the Horner loop is 16 chained CTEs (one
-    mod-2^64 multiply-add each — inlining would nest the limb-split
-    expressions exponentially), lanes are splitmix64(token_hash + k + 1),
-    bit g of the signature follows the packbits order
-    g = 64*lane + 8*(p//8) + 7 - p%8 (kernels._BITORDER)."""
+def _sql_simhash_mirror(docs_cte: str, final_select: str) -> str:
+    """DuckDB mirror of the PRODUCTION SimHash kernel, parameterized on its
+    input: ``docs_cte`` must define ``docs(doc_id, text)``; ``final_select``
+    is the tail query and may reference ``docs`` and ``hexes(doc_id,
+    sig_hex)``. Mirrors kernels.hash_tokens_utf8 / simhash256_from_utf8
+    exactly: the Horner loop is 16 chained CTEs (one mod-2^64 multiply-add
+    each — inlining would nest the limb-split expressions exponentially),
+    lanes are splitmix64(token_hash + k + 1), bit g of the signature
+    follows the packbits order g = 64*lane + 8*(p//8) + 7 - p%8
+    (kernels._BITORDER)."""
     horner = ["h0 AS (SELECT doc_id, tok, tlen, 0::HUGEINT AS h FROM toks)"]
     for j in range(1, 17):
         horner.append(
@@ -143,7 +145,7 @@ def _sql_simhash_prod() -> str:
     )
     return f"""
 WITH
-docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+{docs_cte},
 toks AS (
   SELECT doc_id, lower(t.tok) AS tok, len(t.tok)::HUGEINT AS tlen
   FROM docs, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t(tok)
@@ -177,9 +179,42 @@ hexes AS (
   SELECT doc_id, lower(string_agg(to_hex(nib), '' ORDER BY c)) AS sig_hex
   FROM nibbles GROUP BY 1
 )
-SELECT d.doc_id, coalesce(h.sig_hex, repeat('0', 64)) AS sig_hex
-FROM docs d LEFT JOIN hexes h USING (doc_id)
+{final_select}
 """
+
+
+def _sql_simhash_prod() -> str:
+    """The documents-table instance of the production-SimHash mirror
+    (doc_id % 2 = 0 corpus cut keeps the driver pass cheap)."""
+    return _sql_simhash_mirror(
+        "docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        """SELECT d.doc_id, coalesce(h.sig_hex, repeat('0', 64)) AS sig_hex
+           FROM docs d LEFT JOIN hexes h USING (doc_id)""",
+    )
+
+
+def _sql_pipeline_e2e() -> str:
+    """End-to-end oracle for the PRODUCTION assemble → fingerprint path:
+    DuckDB re-assembles each user's events into a conversation document
+    (string_agg in (ts, event_id) order — the same total order the Spark
+    side realizes as turn_idx), then replays the full SimHash kernel on
+    the assembled text, plus the kernel's canon / n_chars derivations."""
+    return _sql_simhash_mirror(
+        """docs AS (
+             SELECT user_id::VARCHAR AS doc_id,
+                    string_agg(event_type, ' ' ORDER BY ts, event_id) AS text
+             FROM events GROUP BY user_id)""",
+        """SELECT d.doc_id AS conv_id,
+                  coalesce(h.sig_hex, repeat('0', 64)) AS sig_hex,
+                  substr(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'),
+                         1, 48) AS canon,
+                  nt.n_turns,
+                  len(d.text)::BIGINT AS n_chars
+           FROM docs d
+           LEFT JOIN hexes h USING (doc_id)
+           JOIN (SELECT user_id::VARCHAR AS doc_id, count(*)::INT AS n_turns
+                 FROM events GROUP BY 1) nt USING (doc_id)""",
+    )
 
 
 def _sql_demo_cc_ctes() -> str:
@@ -1242,6 +1277,32 @@ def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION pipeline front half (B2 assemble → B3 fingerprint) on
+    driver-visible data, DuckDB-oracled byte-for-byte: each user's events
+    become transcript turns in (ts, event_id) order, assemble_conversations
+    builds the document (collect_list + in-array sort, no global sort), and
+    the fused mapInArrow SimHash kernel fingerprints it. The oracle
+    re-assembles with string_agg in the same total order and replays the
+    splitmix64 kernel in SQL (_sql_simhash_mirror) — so the composition
+    assemble ∘ fingerprint, including the kernel's own canon / n_chars
+    derivations, is value-checked end-to-end on the driver, closing the
+    rows-only residue of pipeline_signatures (whose input fixture DuckDB
+    cannot see) with the same code path on data it can."""
+    from hexspark.pipeline import simhash
+    from hexspark.pipeline.assemble import assemble_conversations
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("text"),
+    )
+    sigs = simhash.signatures(assemble_conversations(tr))
+    return sigs.select("conv_id", "sig_hex", "canon", "n_turns", "n_chars")
+
+
 def q_multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pass blocking (pipeline/blocking.union_candidates): the union
     of an LSH banding pass and a sorted-neighborhood pass as ONE
@@ -1359,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_weights": q_fs_match_weights,
         "mutual_best": q_mutual_best,
         "multipass_candidates": q_multipass_candidates,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -1868,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nibbles GROUP BY doc_id
         """,
         "simhash_prod": _sql_simhash_prod(),
+        "pipeline_e2e": _sql_pipeline_e2e(),
         "lang_marker_scores": """
             WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
             SELECT doc_id,
