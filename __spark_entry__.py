@@ -422,6 +422,29 @@ def _demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEMO_CC_CACHE: dict = {}
+
+
+def _demo_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the shared demo edge set, computed once
+    per (session, sf_dir) and kept persisted — six driver queries
+    (clustering, eval metrics, survivorship) consume the same clustering,
+    and the CC iteration was the sweep's next-largest repeated line item
+    after the pair build itself."""
+    from hexspark.pipeline.clustering import connected_components
+
+    key = (id(spark._jsparkSession), sf_dir)
+    cached = _DEMO_CC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cc, _ = connected_components(_demo_edges(spark, sf_dir))
+    cc = cc.persist()
+    cc.count()
+    _DEMO_CC_CACHE.clear()
+    _DEMO_CC_CACHE[key] = cc
+    return cc
+
+
 def q_cluster_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8/B9 clustering, DuckDB-oracled: large-star/small-star connected
     components over a hamming match-edge graph (per-lang pairs at dist<=50
@@ -432,10 +455,7 @@ def q_cluster_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set here is an all-pairs-per-lang DEMO construction for the DuckDB
     recursive-CTE oracle, not a scale path — production edges come from LSH
     blocking (pipeline/blocking.py)."""
-    from hexspark.pipeline.clustering import connected_components
-
-    edges = _demo_edges(spark, sf_dir)
-    cc, _ = connected_components(edges)
+    cc = _demo_cc(spark, sf_dir)
     return cc.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -858,7 +878,6 @@ def q_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     purpose so tp/fp/fn are all non-zero and the F1 arithmetic (not just the
     joins) is value-checked. The oracle recomputes the clustering with the
     recursive min-label CTE and counts the same sets in SQL."""
-    from hexspark.pipeline.clustering import connected_components
     from hexspark.pipeline.evaluate import pairwise_f1_df
 
     pairs = _demo_scored_pairs(spark, sf_dir)
@@ -866,7 +885,7 @@ def q_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = pairs.where(F.col("dist") <= 80).select(
         "conv_id_a", "conv_id_b", (F.col("dist") <= 40).alias("is_match")
     )
-    cc, _ = connected_components(_demo_edges(spark, sf_dir))
+    cc = _demo_cc(spark, sf_dir)
     out = pairwise_f1_df(labels, cc, candidate_pairs=cand)
     return out.select(
         "tp", "fp", "fn",
@@ -1012,11 +1031,10 @@ def _demo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC clustering of the shared demo edge set + singletons over the
     oracle-corpus cut — the cluster table the survivorship / metric queries
     consume. conv_id / cluster_id are longs (doc_ids)."""
-    from hexspark.pipeline.clustering import connected_components, with_singletons
+    from hexspark.pipeline.clustering import with_singletons
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
-    cc, _ = connected_components(_demo_edges(spark, sf_dir))
-    return with_singletons(cc, docs.select(F.col("doc_id").alias("conv_id")))
+    return with_singletons(_demo_cc(spark, sf_dir), docs.select(F.col("doc_id").alias("conv_id")))
 
 
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
