@@ -110,20 +110,18 @@ def sorted_neighborhood_pairs(
         num_partitions=num_partitions,
     ).select(id_col, _RANK)
 
+    # integer `div`, not float `/` + cast: ranks are exact longs and the
+    # bucket id must stay exact past 2^53 rows
+    bkt = F.expr(f"{_RANK} div {b}")
     left = ranked.select(
         F.col(id_col).alias(f"{id_col}_a"),
         F.col(_RANK).alias("_rank_a"),
-        F.explode(
-            F.array(
-                (F.col(_RANK) / b).cast("long"),
-                (F.col(_RANK) / b).cast("long") + 1,
-            )
-        ).alias("_bkt"),
+        F.explode(F.array(bkt, bkt + 1)).alias("_bkt"),
     )
     right = ranked.select(
         F.col(id_col).alias(f"{id_col}_b"),
         F.col(_RANK).alias("_rank_b"),
-        (F.col(_RANK) / b).cast("long").alias("_bkt"),
+        bkt.alias("_bkt"),
     )
     gap = F.col("_rank_b") - F.col("_rank_a")
     return (
