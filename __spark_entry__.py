@@ -622,6 +622,30 @@ def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein scoring family (pipeline/scoring.edit_distance) on
+    adjacent doc pairs' canonical keys — the insert/delete-tolerant
+    complement to hamming (A2) and Jaro-Winkler. Three forms per pair:
+    the full distance, the BOUNDED distance (threshold 12 → -1 beyond it,
+    Spark's banded O(len·t) DP — the edit-distance analogue of A3's
+    mid-scan early exit, python_hexhamming.cc:62-64), and the normalized
+    similarity. All pure Catalyst codegen; no Python boundary."""
+    from hexspark.pipeline.scoring import edit_distance, edit_similarity
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 40).alias("canon")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    ca, cb = F.col("a.canon"), F.col("b.canon")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        edit_distance(ca, cb).cast("long").alias("lev"),
+        edit_distance(ca, cb, 12).cast("long").alias("lev_capped"),
+        F.round(edit_similarity(ca, cb), 6).alias("edit_sim"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hexspark.ops.text import token_count
 
@@ -1408,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "jaro_winkler": q_jaro_winkler,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1711,6 +1736,19 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT doc_id, substr(text, 1, 32) AS canon FROM documents)
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    round(jaro_winkler_similarity(a.canon, b.canon), 6) AS jw
+            FROM c a JOIN c b ON b.doc_id = a.doc_id + 1
+        """,
+        "edit_distance_pairs": """
+            WITH c AS (SELECT doc_id, substr(text, 1, 40) AS canon FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   levenshtein(a.canon, b.canon)::BIGINT AS lev,
+                   (CASE WHEN levenshtein(a.canon, b.canon) <= 12
+                         THEN levenshtein(a.canon, b.canon) ELSE -1 END)::BIGINT
+                       AS lev_capped,
+                   round(CASE WHEN greatest(len(a.canon), len(b.canon)) = 0 THEN 1.0
+                              ELSE 1.0 - levenshtein(a.canon, b.canon)
+                                    / greatest(len(a.canon), len(b.canon)) END,
+                         6) AS edit_sim
             FROM c a JOIN c b ON b.doc_id = a.doc_id + 1
         """,
         "token_stats": """

@@ -167,6 +167,32 @@ def score_wide(
     return scored.where(F.col("score") >= F.lit(min_score))
 
 
+def edit_distance(a, b, max_dist: int | None = None):
+    """Levenshtein edit distance as a pure-Catalyst Column — the third
+    scorer family next to hamming (A2) and Jaro-Winkler, for pairs whose
+    canon keys drift by insertions/deletions that hamming over-penalizes.
+
+    ``max_dist`` maps the reference's bounded-distance idea
+    (check_hexstrings_within_dist's mid-scan early exit,
+    python_hexhamming.cc:62-64) onto edit distance: Spark's 3-arg
+    ``levenshtein(a, b, t)`` runs the banded O(len·t) DP inside codegen and
+    returns -1 once the band is exceeded, so a match gate never pays the
+    full O(len²) table for obvious non-matches. Unbounded form for
+    reporting; bounded form for gating."""
+    if max_dist is None:
+        return F.levenshtein(a, b)
+    return F.levenshtein(a, b, max_dist)
+
+
+def edit_similarity(a, b):
+    """Normalized edit similarity 1 - lev/greatest(len_a, len_b) in
+    [0, 1]; 1.0 for two empty strings (no edits needed on equal inputs)."""
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(a, b) / denom
+    )
+
+
 def match_edges(
     scored: DataFrame,
     max_dist: int = DEFAULT_MAX_DIST,

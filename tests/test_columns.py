@@ -235,3 +235,45 @@ def test_canon_keys_match_spark_expression_on_mixed_unicode(spark):
         f"SELECT regexp_replace(lower('{kelvin}'), '[^a-z0-9 ]', '') AS e"
     ).collect()[0]["e"]
     assert byte_canon == "elvin" and jvm_canon == "kelvin"  # divergence is real & pinned
+
+
+def test_edit_distance_scorer(spark):
+    """pipeline/scoring.edit_distance: exact Levenshtein vs a pure-Python
+    DP oracle; the bounded form returns -1 strictly beyond the cap and the
+    exact distance at-or-under it (the A3-style gate contract); similarity
+    is 1 - lev/max_len with the empty-empty convention pinned to 1.0."""
+    from hexspark.pipeline.scoring import edit_distance, edit_similarity
+
+    def lev_py(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    pairs = [
+        ("kitten", "sitting"),
+        ("abc", "abc"),
+        ("", ""),
+        ("", "abcd"),
+        ("flaw", "lawn"),
+        ("a" * 30, "a" * 28 + "bb"),
+        ("tool use agent", "tool-use agent"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        "a",
+        "b",
+        edit_distance("a", "b").alias("lev"),
+        edit_distance("a", "b", 3).alias("lev3"),
+        edit_similarity("a", "b").alias("sim"),
+    ).collect()
+    for r in rows:
+        want = lev_py(r["a"], r["b"])
+        assert r["lev"] == want
+        assert r["lev3"] == (want if want <= 3 else -1)
+        denom = max(len(r["a"]), len(r["b"]))
+        want_sim = 1.0 if denom == 0 else 1.0 - want / denom
+        assert abs(r["sim"] - want_sim) < 1e-12
