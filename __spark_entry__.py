@@ -1414,6 +1414,95 @@ def _sql_fs_match_weights() -> str:
     """
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (ops/sketch.cms_build, depth=4 x width=512) over
+    every token occurrence in documents, probed for the 20 highest-exact-
+    count tokens: (token, true_cnt, est_cnt). est_cnt >= true_cnt always
+    (CMS never under-counts); at this corpus/width most probes are exact.
+    The md5-derived row hashes make the sketch bit-reproducible, which is
+    what lets DuckDB mirror a SKETCH — engine-native CMS/HLL never
+    cross-match."""
+    from hexspark.ops.sketch import cms_build, cms_estimate
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).where(F.col("token") != "")
+    sketch = cms_build(toks, F.col("token"), depth=4, width=512)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "token")
+        .limit(20)
+    )
+    return cms_estimate(sketch, top, F.col("token"), depth=4, width=512).select(
+        "token", "true_cnt", "est_cnt"
+    )
+
+
+def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (ops/sketch.bloom_build/_may_contain):
+    a 64-word x 62-bit filter built from BUILDING-segment customer keys is
+    broadcast over orders, and per order-status we report how many orders
+    the filter passes vs how many truly join — the deterministic
+    false-positive envelope of the classic shuffle-avoidance trick. At
+    100 TB the filter is ~500 bytes standing in for shuffling every
+    non-matching order into the join exchange."""
+    from hexspark.ops.sketch import bloom_build, bloom_may_contain
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(build, F.col("c_custkey"), n_words=64, n_hashes=3)
+    probe = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    passed = bloom_may_contain(bloom, probe, F.col("o_custkey"), n_words=64, n_hashes=3)
+    n_pass = passed.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_pass"))
+    n_true = (
+        probe.join(build.distinct(), probe.o_custkey == build.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return n_pass.join(n_true, "o_orderstatus", "left").select(
+        "o_orderstatus", "n_pass", F.coalesce("n_true", F.lit(0)).alias("n_true")
+    )
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (ops/graph.node_triangle_counts) on the
+    shared demo match graph — the cohesion signal that separates
+    corroborated matches from bridge edges before transitive closure
+    glues entities. Spark runs the degree-oriented node-iterator (hub
+    out-degree bounded, no naive a<b<c 3-way join); the oracle IS the
+    naive 3-way join, fine at oracle scale — same triangles either way."""
+    from hexspark.ops.graph import node_triangle_counts
+
+    # dist<=60 (not the <=50 clustering cut): denser graph, real triangle
+    # structure; still a filter over the shared persisted demo pair build
+    edges = (
+        _demo_scored_pairs(spark, sf_dir)
+        .where(F.col("dist") <= 60)
+        .select(
+            F.col("conv_id_a").cast("long").alias("id_a"),
+            F.col("conv_id_b").cast("long").alias("id_b"),
+        )
+    )
+    out = node_triangle_counts(edges)
+    return out.select(F.col("node").cast("long").alias("doc_id"), "n_triangles")
+
+
+def q_token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index token blocking (ops/setjoin.token_blocking_pairs):
+    the third blocking family beside LSH banding and sorted neighborhood —
+    pairs sharing >= 1 rare blocking key, with the shared-key count. Keys
+    are word TRIGRAMS (single words appear in ~80% of this corpus — a
+    31-token vocabulary blocks nothing), df-capped at 2: the cap bounds
+    every key's pair contribution at df^2, which is what keeps an
+    inverted index alive on a Zipf vocabulary."""
+    from hexspark.ops.setjoin import token_blocking_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return token_blocking_pairs(docs, "doc_id", F.col("text"), max_df=2, ngram=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hamming_pairs": q_hamming_pairs,
@@ -1463,6 +1552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_weights": q_fs_match_weights,
         "mutual_best": q_mutual_best,
         "multipass_candidates": q_multipass_candidates,
+        "cms_token_counts": q_cms_token_counts,
+        "bloom_prune_orders": q_bloom_prune_orders,
+        "triangle_counts": q_triangle_counts,
+        "token_block_pairs": q_token_block_pairs,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -2167,5 +2260,110 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT p, ',' ORDER BY p) AS passes,
                    count(DISTINCT p)::INT AS n_passes
             FROM u GROUP BY 1, 2
+        """,
+        # the sketch is bit-reproducible (md5 row hashes), so the oracle
+        # rebuilds the SAME depth x width counter grid and takes the same
+        # min-over-rows estimate — a value-level check of the sketch itself
+        "cms_token_counts": """
+            WITH toks AS (
+              SELECT t.tok AS token
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+              WHERE t.tok <> ''),
+            grid AS (
+              SELECT r.j AS row,
+                     ('0x' || substr(md5('c' || r.j::VARCHAR || token), 1, 12))::BIGINT
+                         % 512 AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r
+              GROUP BY 1, 2),
+            top AS (
+              SELECT token, count(*)::BIGINT AS true_cnt
+              FROM toks GROUP BY 1
+              ORDER BY true_cnt DESC, token LIMIT 20),
+            probe AS (
+              SELECT top.token, top.true_cnt, r.j AS row,
+                     ('0x' || substr(md5('c' || r.j::VARCHAR || top.token), 1, 12))::BIGINT
+                         % 512 AS bucket
+              FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r)
+            SELECT probe.token AS token, probe.true_cnt AS true_cnt,
+                   min(coalesce(grid.cnt, 0))::BIGINT AS est_cnt
+            FROM probe LEFT JOIN grid
+              ON grid.row = probe.row AND grid.bucket = probe.bucket
+            GROUP BY 1, 2
+        """,
+        # same 64-word x 62-bit layout, same md5 bit positions: the oracle
+        # reproduces the exact false-positive set, not just the true joins
+        "bloom_prune_orders": """
+            WITH build AS (
+              SELECT DISTINCT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+            bpos AS (
+              SELECT ('0x' || substr(md5('b' || r.i::VARCHAR || c_custkey::VARCHAR),
+                                     1, 12))::BIGINT % (64 * 62) AS p
+              FROM build CROSS JOIN (SELECT unnest(range(0, 3)) AS i) r),
+            words AS (
+              SELECT (p // 62) AS word, bit_or(1::BIGINT << (p % 62)::INT) AS bits
+              FROM bpos GROUP BY 1),
+            ppos AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     ('0x' || substr(md5('b' || r.i::VARCHAR || o_custkey::VARCHAR),
+                                     1, 12))::BIGINT % (64 * 62) AS p
+              FROM orders CROSS JOIN (SELECT unnest(range(0, 3)) AS i) r),
+            hits AS (
+              SELECT ppos.o_orderkey, ppos.o_custkey, ppos.o_orderstatus,
+                     CASE WHEN words.bits IS NOT NULL
+                               AND (words.bits & (1::BIGINT << (ppos.p % 62)::INT)) <> 0
+                          THEN 1 ELSE 0 END AS hit
+              FROM ppos LEFT JOIN words ON words.word = (ppos.p // 62)),
+            pass AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus
+              FROM hits GROUP BY 1, 2, 3 HAVING sum(hit) = 3),
+            np AS (SELECT o_orderstatus, count(*)::BIGINT AS n_pass
+                   FROM pass GROUP BY 1),
+            nt AS (SELECT o_orderstatus, count(*)::BIGINT AS n_true
+                   FROM orders WHERE o_custkey IN (SELECT c_custkey FROM build)
+                   GROUP BY 1)
+            SELECT np.o_orderstatus AS o_orderstatus, np.n_pass,
+                   coalesce(nt.n_true, 0)::BIGINT AS n_true
+            FROM np LEFT JOIN nt ON nt.o_orderstatus = np.o_orderstatus
+        """,
+        # naive a<b<c 3-way join — O(n^3)-shaped but fine at oracle scale;
+        # Spark runs the degree-oriented node-iterator, same triangle set
+        "triangle_counts": f"""
+            WITH f AS (SELECT doc_id, lang, md5(text) AS h FROM documents
+                       WHERE doc_id % 3 = 0),
+            me AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE {d('a.h', 'b.h')} <= 60),
+            tri AS (
+              SELECT e1.ia AS x, e1.ib AS y, e2.ib AS z
+              FROM me e1
+              JOIN me e2 ON e2.ia = e1.ib
+              JOIN me e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+            nodes AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            SELECT node::BIGINT AS doc_id, count(*)::BIGINT AS n_triangles
+            FROM nodes GROUP BY 1
+        """,
+        "token_block_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            toks AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS token
+              FROM w, unnest(range(1, len(ws) - 1)) AS r(i)),
+            rare AS (SELECT token FROM toks GROUP BY token HAVING count(*) <= 2),
+            rt AS (SELECT doc_id, toks.token FROM toks JOIN rare USING (token))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*)::BIGINT AS n_shared_rare
+            FROM rt a JOIN rt b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
     }

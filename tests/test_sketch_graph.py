@@ -1,0 +1,152 @@
+"""Unit oracles for ops/sketch (count-min, Bloom) and ops/graph
+(triangles) plus the word-ngram token blocker — pure-Python references on
+randomized fixed-seed inputs."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    """est >= true for every key (the CMS contract), and with width far
+    above the distinct-key count the estimate is exact for every probe."""
+    from hexspark.ops.sketch import cms_build, cms_estimate
+
+    rng = random.Random(11)
+    keys = [f"k{i}" for i in range(40)]
+    stream = [(rng.choice(keys),) for _ in range(2000)]
+    true = {}
+    for (k,) in stream:
+        true[k] = true.get(k, 0) + 1
+
+    df = spark.createDataFrame(stream, "tok string")
+    probes = spark.createDataFrame([(k,) for k in keys], "tok string")
+
+    # narrow sketch: collisions expected, but never an undercount
+    sk = cms_build(df, F.col("tok"), depth=3, width=16)
+    est = {r["tok"]: r["est_cnt"] for r in
+           cms_estimate(sk, probes, F.col("tok"), 3, 16).collect()}
+    assert all(est[k] >= true[k] for k in keys)
+
+    # wide sketch: 4096 buckets for 40 keys -> exact with overwhelming odds
+    sk = cms_build(df, F.col("tok"), depth=4, width=4096)
+    est = {r["tok"]: r["est_cnt"] for r in
+           cms_estimate(sk, probes, F.col("tok"), 4, 4096).collect()}
+    assert est == true
+
+    # absent key estimates 0 on the wide sketch
+    ghost = spark.createDataFrame([("nope",)], "tok string")
+    assert cms_estimate(sk, ghost, F.col("tok"), 4, 4096).collect()[0]["est_cnt"] == 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from hexspark.ops.sketch import bloom_build, bloom_may_contain
+
+    members = list(range(0, 400, 2))
+    build = spark.createDataFrame([(k,) for k in members], "k long")
+    probe = spark.createDataFrame([(k,) for k in range(400)], "k long")
+
+    bf = bloom_build(build, F.col("k"), n_words=64, n_hashes=3)
+    kept = {r["k"] for r in
+            bloom_may_contain(bf, probe, F.col("k"), n_words=64, n_hashes=3).collect()}
+
+    assert set(members) <= kept  # a Bloom filter NEVER drops a member
+    fps = kept - set(members)
+    # 200 keys in 3968 bits, k=3 -> expected fp rate well under 2%
+    assert len(fps) <= 10
+
+    # word rows never exceed n_words and all bits land in [0, 62)
+    rows = bf.collect()
+    assert len(rows) <= 64
+    assert all(0 <= r["word"] < 64 for r in rows)
+
+
+def test_bloom_filter_is_deterministic(spark):
+    """Same build set -> bit-identical filter rows (md5 hashing, no RNG) —
+    the property the DuckDB oracle depends on."""
+    from hexspark.ops.sketch import bloom_build
+
+    build = spark.createDataFrame([(i * 7,) for i in range(50)], "k long")
+    a = sorted((r["word"], r["bits"]) for r in
+               bloom_build(build, F.col("k"), n_words=16, n_hashes=4).collect())
+    b = sorted((r["word"], r["bits"]) for r in
+               bloom_build(build, F.col("k"), n_words=16, n_hashes=4).collect())
+    assert a == b and a
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_draws", [(7, 40, 150), (23, 25, 90)])
+def test_triangles_match_bruteforce(spark, seed, n_nodes, n_draws):
+    """Degree-oriented node-iterator vs itertools brute force: identical
+    triangle set (canonical x<y<z) and identical per-node counts, with
+    input edges in random endpoint order and with duplicates."""
+    from hexspark.ops.graph import node_triangle_counts, triangles
+
+    rng = random.Random(seed)
+    nodes = list(range(n_nodes))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(n_draws)})
+    es = set(edges)
+    want = sorted(
+        (x, y, z)
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in es and (y, z) in es and (x, z) in es
+    )
+
+    rows = [(a, b) if rng.random() < 0.5 else (b, a) for a, b in edges]
+    rows += rows[: len(rows) // 3]  # duplicates must not double-count
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+
+    got = sorted(tuple(r) for r in triangles(df).collect())
+    assert got == want
+
+    want_counts = {}
+    for t in want:
+        for n in t:
+            want_counts[n] = want_counts.get(n, 0) + 1
+    got_counts = {r["node"]: r["n_triangles"] for r in node_triangle_counts(df).collect()}
+    assert got_counts == want_counts
+
+
+def test_word_ngram_token_blocking(spark):
+    """Trigram keys against a hand-computed reference: pairs share a key
+    only when a 3-word run matches; the df cap drops keys above it; docs
+    shorter than n words produce no keys."""
+    from hexspark.ops.setjoin import token_blocking_pairs, word_ngram_keys
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown fox sleeps"),
+            (3, "the quick brown fox jumps high"),  # shares runs with 1 AND 2
+            (4, "completely different text here"),
+            (5, "two words"),  # shorter than the ngram -> no keys
+        ],
+        "doc_id long, text string",
+    )
+
+    keys = {(r["doc_id"], r["token"]) for r in
+            word_ngram_keys(docs, "doc_id", F.col("text"), 3).collect()}
+    assert (5, "two words") not in {(d, t) for d, t in keys if d == 5}
+    assert not [t for d, t in keys if d == 5]
+    assert (1, "quick brown fox") in keys and (2, "quick brown fox") in keys
+
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared_rare"]
+        for r in token_blocking_pairs(
+            docs, "doc_id", F.col("text"), max_df=2, ngram=3
+        ).collect()
+    }
+    # "quick brown fox" has df=3 -> capped out; surviving shared keys:
+    # 1-3 share "the quick brown" + "brown fox jumps" (df 2 each);
+    # 2-? : "a quick brown"/"brown fox sleeps" are df=1 -> no pair
+    assert out == {(1, 3): 2}
+
+    # cap 3 readmits the df=3 key -> 1-2, 1-3, 2-3 all pair up
+    out3 = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared_rare"]
+        for r in token_blocking_pairs(
+            docs, "doc_id", F.col("text"), max_df=3, ngram=3
+        ).collect()
+    }
+    assert out3 == {(1, 2): 1, (1, 3): 3, (2, 3): 1}
