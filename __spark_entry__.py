@@ -1503,6 +1503,22 @@ def q_token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_blocking_pairs(docs, "doc_id", F.col("text"), max_df=2, ngram=3)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-style distinct sketch (ops/sketch.hll_registers /
+    hll_estimate, m=64) over orders.o_custkey, next to the exact count:
+    one row (m, n_set, s_scaled, est_distinct, true_distinct). The
+    harmonic sum is integer-scaled (s_scaled is EXACT), so the only float
+    op is one division — and the md5 registers are bit-identical on any
+    engine, which is what lets DuckDB oracle a cardinality SKETCH rather
+    than just its input."""
+    from hexspark.ops.sketch import hll_estimate, hll_registers
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    est = hll_estimate(hll_registers(orders, F.col("o_custkey"), m=64), m=64)
+    true = orders.agg(F.countDistinct("o_custkey").alias("true_distinct"))
+    return est.crossJoin(true)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hamming_pairs": q_hamming_pairs,
@@ -1556,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_orders": q_bloom_prune_orders,
         "triangle_counts": q_triangle_counts,
         "token_block_pairs": q_token_block_pairs,
+        "hll_distinct": q_hll_distinct,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -2365,5 +2382,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_shared_rare
             FROM rt a JOIN rt b ON a.token = b.token AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        # identical md5 registers + integer-scaled harmonic sum; the alpha *
+        # m^2 * 2^49 numerator is ONE python-computed double embedded in
+        # both sides so no engine re-associates the product
+        "hll_distinct": f"""
+            WITH k AS (SELECT o_custkey::VARCHAR AS ks FROM orders),
+            h AS (SELECT ('0x' || substr(md5('g' || ks), 1, 12))::BIGINT % 64 AS bucket,
+                         substr(md5('h' || ks), 1, 12) AS s
+                  FROM k),
+            r AS (SELECT bucket,
+                         length(regexp_extract(s, '^(0*)', 1)) AS z,
+                         substr(s, length(regexp_extract(s, '^(0*)', 1)) + 1, 1) AS dgt
+                  FROM h),
+            rho AS (SELECT bucket,
+                           CASE WHEN z = 12 THEN 49
+                                ELSE z * 4
+                                     + CASE WHEN dgt = '1' THEN 3
+                                            WHEN dgt IN ('2', '3') THEN 2
+                                            WHEN dgt IN ('4', '5', '6', '7') THEN 1
+                                            ELSE 0 END
+                                     + 1 END AS rho
+                    FROM r),
+            regs AS (SELECT bucket, max(rho) AS max_rho FROM rho GROUP BY 1),
+            agg AS (SELECT count(*)::BIGINT AS n_set,
+                           sum(1::BIGINT << (49 - max_rho)::INT)::BIGINT AS s_set
+                    FROM regs),
+            est AS (SELECT 64 AS m, n_set,
+                           (s_set + (64 - n_set) * {1 << 49})::BIGINT AS s_scaled
+                    FROM agg)
+            SELECT m, n_set, s_scaled,
+                   round({0.709 * 64 * 64 * float(1 << 49)!r} / s_scaled::DOUBLE, 2)
+                       AS est_distinct,
+                   (SELECT count(DISTINCT o_custkey)::BIGINT FROM orders)
+                       AS true_distinct
+            FROM est
         """,
     }

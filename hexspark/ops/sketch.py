@@ -153,3 +153,84 @@ def bloom_may_contain(
         .where(F.col("_hits") == n_hashes)
         .drop("_hits")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog-style distinct sketch
+# --------------------------------------------------------------------------
+
+HLL_RHO_MAX = 49  # 48-bit rho window -> rho in [1, 49]
+_HLL_POW2_RHO_MAX = 1 << HLL_RHO_MAX
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al.'s bias constant: the small-m table values, then the
+    asymptotic formula."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, key: Column, m: int = 64) -> DataFrame:
+    """HyperLogLog register table (bucket, max_rho) with <= m rows, from
+    md5-derived bucket + rho so the sketch is bit-identical on any engine
+    (engine-native approx_count_distinct never cross-matches).
+
+    rho (1 + leading zeros of a 48-bit hash window) is computed on the
+    md5 HEX STRING — leading '0' chars count 4 bits each, the first
+    non-zero hex digit adds its own leading zeros via a 3-way CASE —
+    because both engines share exact string semantics, while
+    floor(log2(x)) would hang the result on libm rounding at power-of-two
+    boundaries. max() per bucket partial-aggregates map-side, so the
+    exchange carries <= m registers per upstream partition regardless of
+    input size: the whole point of HLL at 100 TB."""
+    k = key.cast("string")
+    bucket = _hash48(k, "g") % m
+    s = F.substring(F.md5(F.concat(F.lit("h"), k)), 1, 12)
+    z = F.length(F.regexp_extract(s, "^(0*)", 1))
+    d = F.substring(s, (z + 1).cast("int"), 1)
+    extra = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(z == 12, F.lit(HLL_RHO_MAX)).otherwise(z * 4 + extra + 1)
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int) -> DataFrame:
+    """One-row estimate from a register table: (m, n_set, s_scaled,
+    est_distinct). The 2^-M harmonic sum is kept EXACT by scaling to
+    integers — sum(2^(RHO_MAX - M)) + empty-register mass — so the only
+    float op is one final division: no accumulation-order sensitivity,
+    the same lesson as the event_sessions decimal-sum fix. No
+    linear-counting branch: callers at < 2.5m distinct should count
+    exactly instead of sketching."""
+    alpha = hll_alpha(m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RHO_MAX} - max_rho AS INT))"
+            )
+        ).alias("s_set"),
+    )
+    s_scaled = F.col("s_set") + (F.lit(m) - F.col("n_set")) * F.lit(_HLL_POW2_RHO_MAX)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_set").cast("long").alias("n_set"),
+        s_scaled.cast("long").alias("s_scaled"),
+        F.round(
+            F.lit(alpha * m * m * float(_HLL_POW2_RHO_MAX)) / s_scaled.cast("double"),
+            2,
+        ).alias("est_distinct"),
+    )

@@ -150,3 +150,35 @@ def test_word_ngram_token_blocking(spark):
         ).collect()
     }
     assert out3 == {(1, 2): 1, (1, 3): 3, (2, 3): 1}
+
+
+def test_hll_registers_match_python_reference(spark):
+    """bucket/rho against a hashlib reference, and the estimate lands
+    within the expected HLL error envelope (~1.04/sqrt(m))."""
+    import hashlib
+
+    from hexspark.ops.sketch import HLL_RHO_MAX, hll_estimate, hll_registers
+
+    m = 64
+    keys = [str(i * 13 + 1) for i in range(900)]
+
+    def ref_bucket_rho(ks: str):
+        b = int(hashlib.md5(("g" + ks).encode()).hexdigest()[:12], 16) % m
+        s = hashlib.md5(("h" + ks).encode()).hexdigest()[:12]
+        w = int(s, 16)
+        rho = HLL_RHO_MAX if w == 0 else 48 - w.bit_length() + 1
+        return b, rho
+
+    want = {}
+    for ks in keys:
+        b, rho = ref_bucket_rho(ks)
+        want[b] = max(want.get(b, 0), rho)
+
+    df = spark.createDataFrame([(k,) for k in keys] * 3, "k string")  # dups
+    regs = hll_registers(df, F.col("k"), m=m)
+    got = {r["bucket"]: r["max_rho"] for r in regs.collect()}
+    assert got == want
+
+    est = hll_estimate(regs, m).collect()[0]
+    assert abs(est["est_distinct"] - 900) / 900 < 0.30  # ~2.3 sigma at m=64
+    assert est["n_set"] <= m
