@@ -1519,6 +1519,31 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(true)
 
 
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (ops/skewjoin.salted_equijoin, n_salts=4):
+    lineitem x orders on the order key with the big side salted by line
+    number, then per-priority row count + exact quantity sum. The result
+    is identical to the plain join (that IS the oracle); the point is the
+    layout — a hot order key's rows land on 4 reducers instead of 1. The
+    plan shape is pinned in tests/test_plans.py; quantity sums as long
+    (integral column), so no float-order sensitivity."""
+    from hexspark.ops.skewjoin import salted_equijoin
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_equijoin(
+        li, orders, on=["l_orderkey"], salt_from=["l_linenumber"], n_salts=4
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hamming_pairs": q_hamming_pairs,
@@ -1573,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "token_block_pairs": q_token_block_pairs,
         "hll_distinct": q_hll_distinct,
+        "salted_join_agg": q_salted_join_agg,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -2417,5 +2443,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT o_custkey)::BIGINT FROM orders)
                        AS true_distinct
             FROM est
+        """,
+        # salting must be RESULT-invisible: the oracle is the plain join
+        "salted_join_agg": """
+            SELECT o.o_orderpriority AS o_orderpriority,
+                   count(*)::BIGINT AS n_items,
+                   sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
         """,
     }
