@@ -1519,6 +1519,29 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(true)
 
 
+def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorroborated match edges (ops/graph.bridge_edges): edges of the
+    demo match graph (dist<=60) on NO triangle — the single-bad-edge shape
+    that glues two real entities under transitive closure, i.e. the
+    post-clustering review queue. Same shared pair build as
+    triangle_counts; the anti-join keys on the pair, no content shuffle."""
+    from hexspark.ops.graph import bridge_edges
+
+    edges = (
+        _demo_scored_pairs(spark, sf_dir)
+        .where(F.col("dist") <= 60)
+        .select(
+            F.col("conv_id_a").cast("long").alias("id_a"),
+            F.col("conv_id_b").cast("long").alias("id_b"),
+        )
+    )
+    out = bridge_edges(edges)
+    return out.select(
+        F.col("u").cast("long").alias("doc_id_a"),
+        F.col("v").cast("long").alias("doc_id_b"),
+    )
+
+
 def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join (ops/skewjoin.salted_equijoin, n_salts=4):
     lineitem x orders on the order key with the big side salted by line
@@ -1599,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_block_pairs": q_token_block_pairs,
         "hll_distinct": q_hll_distinct,
         "salted_join_agg": q_salted_join_agg,
+        "bridge_edges": q_bridge_edges,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -2443,6 +2467,25 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT o_custkey)::BIGINT FROM orders)
                        AS true_distinct
             FROM est
+        """,
+        "bridge_edges": f"""
+            WITH f AS (SELECT doc_id, lang, md5(text) AS h FROM documents
+                       WHERE doc_id % 3 = 0),
+            me AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE {d('a.h', 'b.h')} <= 60),
+            tri AS (
+              SELECT e1.ia AS x, e1.ib AS y, e2.ib AS z
+              FROM me e1
+              JOIN me e2 ON e2.ia = e1.ib
+              JOIN me e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+            te AS (
+              SELECT x AS ia, y AS ib FROM tri
+              UNION SELECT y, z FROM tri
+              UNION SELECT x, z FROM tri)
+            SELECT me.ia AS doc_id_a, me.ib AS doc_id_b
+            FROM me ANTI JOIN te ON te.ia = me.ia AND te.ib = me.ib
         """,
         # salting must be RESULT-invisible: the oracle is the plain join
         "salted_join_agg": """

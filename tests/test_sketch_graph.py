@@ -247,3 +247,30 @@ def test_salted_equijoin_spreads_hot_key_partitions(spark):
         assert out.count() == 501
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bridge_edges_vs_bruteforce(spark):
+    """bridge = edge on no triangle; randomized check against the
+    itertools triangle oracle plus a hand case (path edges are bridges,
+    triangle edges are not)."""
+    from hexspark.ops.graph import bridge_edges
+
+    # hand case: triangle {1,2,3} + pendant path 3-4-5
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    got = sorted((r["u"], r["v"]) for r in bridge_edges(df).collect())
+    assert got == [(3, 4), (4, 5)]
+
+    rng = random.Random(31)
+    nodes = list(range(30))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(100)})
+    es = set(edges)
+    in_tri = set()
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            in_tri |= {(x, y), (y, z), (x, z)}
+    want = sorted(e for e in edges if e not in in_tri)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted((r["u"], r["v"]) for r in bridge_edges(df).collect())
+    assert got == want
