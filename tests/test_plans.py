@@ -195,3 +195,53 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "hashpartitioning(conv_id" in cplan, cplan[:3000]
     for t in (t_sigs, t_clus):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bloom_probe_is_broadcast_no_probe_shuffle(spark):
+    """Bloom semi-join pruning's physical point: the probe side must see a
+    BroadcastHashJoin against the (tiny) filter table — never a sort-merge
+    join that shuffles probe content on the word key. The only exchange on
+    the probe stream is the groupBy reconstructing probe grain."""
+    from hexspark.ops.sketch import bloom_build, bloom_may_contain
+
+    build = spark.range(0, 500).select(F.col("id").alias("k"))
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bf = bloom_build(build, F.col("k"), n_words=32, n_hashes=3)
+    out = bloom_may_contain(bf, probe, F.col("k"), n_words=32, n_hashes=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_build_is_single_aggregate_exchange(spark):
+    """The CMS build must be ONE partial-aggregate pipeline: exactly one
+    exchange (the final row/bucket hash aggregate), with partial_count
+    upstream — the sketch's exchange volume is depth*width counters per
+    partition, independent of input size."""
+    from hexspark.ops.sketch import cms_build
+
+    toks = spark.range(0, 10000).select(F.col("id").cast("string").alias("t"))
+    sk = cms_build(toks, F.col("t"), depth=4, width=256)
+    plan = _plan(sk)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan  # map-side combine confirmed
+
+
+def test_token_blocking_has_no_self_join(spark):
+    """token_blocking_pairs generates pairs in-array: the plan must not
+    contain ANY SortMergeJoin of the token stream with itself — the only
+    join is tokens->rare (df gate), and the pair stream's sole exchange is
+    its own groupBy."""
+    from hexspark.ops.setjoin import token_blocking_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = token_blocking_pairs(docs, "doc_id", F.col("text"), max_df=3, ngram=2)
+    plan = _plan(out)
+    # one tokens->rare join; pair generation contributes no join at all
+    joins = re.findall(
+        r"\n\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins) == 1, joins
