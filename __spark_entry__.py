@@ -1542,6 +1542,31 @@ def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-precision clustering variant (ops/graph.robust_components):
+    connected components over CORROBORATED (triangle) edges only — a merge
+    needs two independent matching paths, so one false-positive edge can
+    no longer glue two entities. Nodes stranded by bridge removal become
+    singletons. Same shared dist<=60 demo graph as triangle_counts /
+    bridge_edges; oracle = recursive min-label CTE over the triangle edge
+    set + singleton passthrough."""
+    from hexspark.ops.graph import robust_components
+
+    edges = (
+        _demo_scored_pairs(spark, sf_dir)
+        .where(F.col("dist") <= 60)
+        .select(
+            F.col("conv_id_a").cast("long").alias("id_a"),
+            F.col("conv_id_b").cast("long").alias("id_b"),
+        )
+    )
+    clusters, _ = robust_components(edges)
+    return clusters.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join (ops/skewjoin.salted_equijoin, n_salts=4):
     lineitem x orders on the order key with the big side salted by line
@@ -1623,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "salted_join_agg": q_salted_join_agg,
         "bridge_edges": q_bridge_edges,
+        "robust_clusters": q_robust_clusters,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -2486,6 +2512,41 @@ def oracle_sql() -> dict[str, str]:
               UNION SELECT x, z FROM tri)
             SELECT me.ia AS doc_id_a, me.ib AS doc_id_b
             FROM me ANTI JOIN te ON te.ia = me.ia AND te.ib = me.ib
+        """,
+        "robust_clusters": f"""
+            WITH RECURSIVE
+            f AS (SELECT doc_id, lang, md5(text) AS h FROM documents
+                  WHERE doc_id % 3 = 0),
+            me AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE {d('a.h', 'b.h')} <= 60),
+            tri AS (
+              SELECT e1.ia AS x, e1.ib AS y, e2.ib AS z
+              FROM me e1
+              JOIN me e2 ON e2.ia = e1.ib
+              JOIN me e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+            kept AS (
+              SELECT x AS ia, y AS ib FROM tri
+              UNION SELECT y, z FROM tri
+              UNION SELECT x, z FROM tri),
+            sym AS (SELECT ia AS n, ib AS m FROM kept
+                    UNION SELECT ib, ia FROM kept),
+            reach AS (
+              SELECT n, m FROM sym
+              UNION
+              SELECT reach.n, sym.m FROM reach JOIN sym ON reach.m = sym.n
+              WHERE sym.m <> reach.n
+            ),
+            cc AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+                   FROM reach GROUP BY n),
+            -- DISTINCT subquery, not a bare UNION: inside a WITH RECURSIVE
+            -- block DuckDB does not dedupe a non-recursive CTE's UNION
+            nodes AS (SELECT DISTINCT doc_id FROM
+                      (SELECT ia AS doc_id FROM me UNION ALL SELECT ib FROM me) t)
+            SELECT nodes.doc_id AS doc_id,
+                   coalesce(cc.cluster_id, nodes.doc_id)::BIGINT AS cluster_id
+            FROM nodes LEFT JOIN cc ON cc.doc_id = nodes.doc_id
         """,
         # salting must be RESULT-invisible: the oracle is the plain join
         "salted_join_agg": """

@@ -274,3 +274,48 @@ def test_bridge_edges_vs_bruteforce(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = sorted((r["u"], r["v"]) for r in bridge_edges(df).collect())
     assert got == want
+
+
+def test_robust_components_vs_union_find(spark):
+    """Robust CC == union-find over triangle edges only, with stranded
+    nodes as singletons; the hand case shows one bad bridge NOT merging
+    two triangles."""
+    from hexspark.ops.graph import robust_components
+
+    # two triangles joined by a single (uncorroborated) bridge 3-4
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)],
+        "id_a long, id_b long",
+    )
+    clusters, _ = robust_components(df)
+    got = {r["conv_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}  # NOT glued
+
+    rng = random.Random(41)
+    nodes = list(range(30))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)})
+    es = set(edges)
+    tri_edges = set()
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            tri_edges |= {(x, y), (y, z), (x, z)}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in tri_edges:
+        parent[find(u)] = find(v)
+    touched = {n for e in edges for n in e}
+    comp = {}
+    for n in touched:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(comp[find(n)]) for n in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    clusters, _ = robust_components(df)
+    got = {r["conv_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == want
