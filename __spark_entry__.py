@@ -1447,14 +1447,16 @@ def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive envelope of the classic shuffle-avoidance trick. At
     100 TB the filter is ~500 bytes standing in for shuffling every
     non-matching order into the join exchange."""
-    from hexspark.ops.sketch import bloom_build, bloom_may_contain
+    from hexspark.ops.sketch import bloom_build, bloom_literal, bloom_prune
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     build = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     bloom = bloom_build(build, F.col("c_custkey"), n_words=64, n_hashes=3)
     probe = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
-    passed = bloom_may_contain(bloom, probe, F.col("o_custkey"), n_words=64, n_hashes=3)
+    # literal-filter path: the probe side is ONE codegen projection — no
+    # explode/join/aggregate (bloom_may_contain remains the no-collect form)
+    passed = bloom_prune(probe, F.col("o_custkey"), bloom_literal(bloom, 64), 3)
     n_pass = passed.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_pass"))
     n_true = (
         probe.join(build.distinct(), probe.o_custkey == build.c_custkey, "left_semi")

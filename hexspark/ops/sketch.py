@@ -234,3 +234,40 @@ def hll_estimate(registers: DataFrame, m: int) -> DataFrame:
             2,
         ).alias("est_distinct"),
     )
+
+
+def bloom_literal(bloom: DataFrame, n_words: int) -> "list[int]":
+    """Materialize a (tiny, <= n_words rows) filter table into a dense
+    word list — ONE driver-side collect of a few hundred longs, the same
+    decide-at-plan-build pattern as blocking's adaptive skew gate."""
+    words = {r["word"]: r["bits"] for r in bloom.collect()}
+    return [int(words.get(w, 0)) for w in range(n_words)]
+
+
+def bloom_prune(
+    probes: DataFrame, key: Column, bits: "list[int]", n_hashes: int = 3
+) -> DataFrame:
+    """Filter ``probes`` through a LITERAL Bloom filter: the whole check is
+    one codegen'd boolean projection — element_at into two constant arrays
+    (filter words + powers of two) ANDed across the n_hashes positions. No
+    explode, no join, no aggregate: the probe stream stays narrow, which
+    is the plan Spark's own runtime bloom pushdown produces and the right
+    shape at 100 TB (the filter rides the closure to every executor; the
+    big side is never reshaped just to be tested). Same maybe-contained
+    semantics as bloom_may_contain — false positives possible, false
+    negatives never."""
+    n_words = len(bits)
+    m = n_words * BLOOM_BITS_PER_WORD
+    words_arr = F.array(*[F.lit(b).cast("long") for b in bits])
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(BLOOM_BITS_PER_WORD)])
+    cond = None
+    for i in range(n_hashes):
+        pos = _hash48(key, f"b{i}") % m
+        word = (pos / BLOOM_BITS_PER_WORD).cast("int")
+        bit = (pos % BLOOM_BITS_PER_WORD).cast("int")
+        hit = (
+            F.element_at(words_arr, word + 1).bitwiseAND(F.element_at(pow2, bit + 1))
+            != 0
+        )
+        cond = hit if cond is None else cond & hit
+    return probes.where(cond)

@@ -319,3 +319,31 @@ def test_robust_components_vs_union_find(spark):
     clusters, _ = robust_components(df)
     got = {r["conv_id"]: r["cluster_id"] for r in clusters.collect()}
     assert got == want
+
+
+def test_bloom_prune_literal_equals_join_form(spark):
+    """The literal-filter projection form must keep exactly the same rows
+    as the join-based bloom_may_contain, and its plan must be a pure
+    narrow filter: zero exchanges, joins, or generates on the probe."""
+    from hexspark.ops.sketch import (
+        bloom_build,
+        bloom_literal,
+        bloom_may_contain,
+        bloom_prune,
+    )
+
+    build = spark.createDataFrame([(i * 3,) for i in range(80)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    bf = bloom_build(build, F.col("k"), n_words=16, n_hashes=3)
+
+    via_join = {r["k"] for r in
+                bloom_may_contain(bf, probe, F.col("k"), 16, 3).collect()}
+    bits = bloom_literal(bf, 16)
+    via_lit = {r["k"] for r in bloom_prune(probe, F.col("k"), bits, 3).collect()}
+    assert via_lit == via_join
+    assert {i * 3 for i in range(80)} <= via_lit
+
+    plan = bloom_prune(probe, F.col("k"), bits, 3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for bad in ("Exchange", "Join", "Generate", "Aggregate"):
+        assert bad not in plan, bad
