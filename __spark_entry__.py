@@ -57,6 +57,19 @@ def _sql_hamming128(ha: str, hb: str) -> str:
     return "(" + "+".join(terms) + ")::BIGINT"
 
 
+# Same mirror for 64-hex-char (256-bit) signatures: 8x 32-bit chunks —
+# the oracle-side twin of scoring.hamming_jvm over sig_chunks_raw. Each
+# term is cast BEFORE summing: DuckDB's bit_count returns a TINYINT and
+# eight chained terms overflow it (256 > 127).
+def _sql_hamming256(ha: str, hb: str) -> str:
+    terms = [
+        f"bit_count(xor(('0x'||substr({ha},{i*8+1},8))::BIGINT,"
+        f"('0x'||substr({hb},{i*8+1},8))::BIGINT))::BIGINT"
+        for i in range(8)
+    ]
+    return "(" + "+".join(terms) + ")"
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirror of the PRODUCTION SimHash kernel (kernels.simhash256_from_utf8
 # + hash_tokens_utf8): byte-level [a-z0-9]+ tokenizer, capped-16-byte
@@ -1594,6 +1607,63 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q_link_pairs / q_link_best: clean-clean linkage through
+    the PRODUCTION operator (pipeline/linkage.link_candidate_pairs_wide).
+    The documents table is split by doc_id parity into two "tables"; each
+    doc gets a 64-hex (256-bit) signature md5(text)||md5(text||'#2') so
+    the production 16-band x 16-bit banding + chunked codegen hamming run
+    unchanged. Only the A x B quadrant is ever generated (within-half
+    duplicates must NOT pair); gate keeps dist <= 150 — exact duplicate
+    texts across the halves land at dist 0, unrelated docs at ~128 per
+    md5 half. Output ids back as longs so the hash compare is
+    integer-exact."""
+    from hexspark.pipeline.linkage import link_candidate_pairs_wide
+    from hexspark.pipeline.scoring import hamming_jvm
+
+    docs = _docs(spark, sf_dir)
+    sig = F.concat(_md5(F.col("text")), _md5(F.concat(F.col("text"), F.lit("#2"))))
+    half = lambda par: docs.where(F.col("doc_id") % 2 == par).select(  # noqa: E731
+        F.col("doc_id").cast("string").alias("conv_id"),
+        sig.alias("sig_hex"),
+        F.substring(F.lower(F.col("text")), 1, 32).alias("canon"),
+    )
+    pairs, _ = link_candidate_pairs_wide(half(0), half(1))
+    return (
+        pairs.withColumn("hamming_dist", hamming_jvm())
+        .where(F.col("hamming_dist") <= 150)
+        .select(
+            F.col("conv_id_a").cast("long").alias("doc_id_a"),
+            F.col("conv_id_b").cast("long").alias("doc_id_b"),
+            "hamming_dist",
+        )
+    )
+
+
+def q_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-clean linkage candidates + scores across two tables — the
+    second classical ER mode next to dedup (pipeline/linkage.py): LSH
+    band join restricted to the cross-table quadrant, exactly-once via
+    the first-matching-band codegen filter, chunked hamming gate."""
+    return _link_scored(spark, sf_dir)
+
+
+def q_link_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one linkage: mutual-best assignment (B7-alt) composed over
+    the clean-clean linkage scores, distance mode — each doc in either
+    half keeps at most one partner; integer distances + partner-id
+    tiebreak make the result partitioning-independent."""
+    from hexspark.pipeline.matching import mutual_best_match
+
+    return mutual_best_match(
+        _link_scored(spark, sf_dir),
+        "doc_id_a",
+        "doc_id_b",
+        "hamming_dist",
+        descending=False,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hamming_pairs": q_hamming_pairs,
@@ -1652,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridge_edges": q_bridge_edges,
         "robust_clusters": q_robust_clusters,
         "pipeline_e2e": q_pipeline_e2e,
+        "link_pairs": q_link_pairs,
+        "link_best": q_link_best,
     }
 
 
@@ -2557,5 +2629,56 @@ def oracle_sql() -> dict[str, str]:
                    sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1
+        """,
+        # clean-clean linkage: band join restricted to the cross-parity
+        # quadrant; DISTINCT stands in for Spark's first-matching-band
+        # exactly-once filter (same pair set either way)
+        "link_pairs": f"""
+            WITH f AS (SELECT doc_id, md5(text) || md5(text || '#2') AS h
+                       FROM documents),
+            bands AS (
+              SELECT doc_id, r.band_id AS band_id,
+                     substr(h, (r.band_id*4+1)::INT, 4) AS band_val
+              FROM f CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r),
+            cp AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+            SELECT cp.doc_id_a, cp.doc_id_b,
+                   {_sql_hamming256('fa.h', 'fb.h')} AS hamming_dist
+            FROM cp JOIN f fa ON cp.doc_id_a = fa.doc_id
+                    JOIN f fb ON cp.doc_id_b = fb.doc_id
+            WHERE {_sql_hamming256('fa.h', 'fb.h')} <= 150
+        """,
+        # one-to-one: double row_number mirror of mutual_best_match in
+        # distance mode (ties broken by partner id ascending)
+        "link_best": f"""
+            WITH f AS (SELECT doc_id, md5(text) || md5(text || '#2') AS h
+                       FROM documents),
+            bands AS (
+              SELECT doc_id, r.band_id AS band_id,
+                     substr(h, (r.band_id*4+1)::INT, 4) AS band_val
+              FROM f CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r),
+            cp AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+            lp AS (
+              SELECT cp.doc_id_a, cp.doc_id_b,
+                     {_sql_hamming256('fa.h', 'fb.h')} AS hamming_dist
+              FROM cp JOIN f fa ON cp.doc_id_a = fa.doc_id
+                      JOIN f fb ON cp.doc_id_b = fb.doc_id
+              WHERE {_sql_hamming256('fa.h', 'fb.h')} <= 150),
+            ranked AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY doc_id_a
+                                   ORDER BY hamming_dist, doc_id_b) AS rl,
+                row_number() OVER (PARTITION BY doc_id_b
+                                   ORDER BY hamming_dist, doc_id_a) AS rr
+              FROM lp)
+            SELECT doc_id_a, doc_id_b, hamming_dist
+            FROM ranked WHERE rl = 1 AND rr = 1
         """,
     }
