@@ -1099,6 +1099,24 @@ def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (pipeline/evaluate.adjusted_rand_index_df) of
+    the hamming-CC clustering (incl. singletons) against lang as the truth
+    partition — the chance-corrected third member of the eval family next
+    to pairwise F1 and B-cubed. Every accumulated sum is an integer
+    (Σ C(x,2) as x*(x-1) div 2), so the aggregate is order-free; only the
+    final one-row expression divides doubles. The oracle recomputes the
+    clustering with the recursive min-label CTE and the same integer
+    marginals."""
+    from hexspark.pipeline.evaluate import adjusted_rand_index_df
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    truth = docs.select(
+        F.col("doc_id").alias("conv_id"), F.col("lang").alias("entity_id")
+    )
+    return adjusted_rand_index_df(_demo_clusters(spark, sf_dir), truth)
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-stage quality (pipeline/evaluate.blocking_quality_df): pair
     completeness / pair quality / reduction ratio of an md5-band LSH blocker
@@ -1704,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
         "bcubed": q_bcubed,
+        "ari": q_ari,
         "blocking_quality": q_blocking_quality,
         "golden_records": q_golden_records,
         "fused_attributes": q_fused_attributes,
@@ -2275,6 +2294,31 @@ def oracle_sql() -> dict[str, str]:
                          / ((p_::DOUBLE / n_records) + (r_::DOUBLE / n_records)),
                          6) AS bcubed_f1
             FROM agg
+        """,
+        # ARI: same contingency cells, integer marginal sums, one final
+        # double expression mirroring evaluate.adjusted_rand_index_df
+        "ari": f"""
+            WITH RECURSIVE
+            {_sql_demo_cc_ctes()},
+            cells AS (SELECT cluster_id, lang AS entity_id, count(*)::BIGINT AS o
+                      FROM asg GROUP BY 1, 2),
+            core AS (SELECT sum(o)::BIGINT AS n_records,
+                            sum(o * (o - 1) // 2)::BIGINT AS sum_cells
+                     FROM cells),
+            ma AS (SELECT sum(sz * (sz - 1) // 2)::BIGINT AS sum_a
+                   FROM (SELECT sum(o)::BIGINT AS sz FROM cells GROUP BY cluster_id)),
+            mb AS (SELECT sum(sz * (sz - 1) // 2)::BIGINT AS sum_b
+                   FROM (SELECT sum(o)::BIGINT AS sz FROM cells GROUP BY entity_id)),
+            x AS (SELECT n_records, sum_cells, sum_a, sum_b,
+                         (sum_a * sum_b) / (n_records::DOUBLE * (n_records - 1) / 2)
+                           AS expv,
+                         (sum_a + sum_b) / 2.0 AS maxv
+                  FROM core, ma, mb)
+            SELECT n_records,
+                   round(CASE WHEN maxv - expv = 0 THEN 1.0
+                              ELSE (sum_cells - expv) / (maxv - expv) END,
+                         6)::DOUBLE AS ari
+            FROM x
         """,
         "blocking_quality": f"""
             WITH

@@ -226,6 +226,68 @@ def blocking_quality_df(
     )
 
 
+def adjusted_rand_index_df(
+    clusters: DataFrame, truth: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """Adjusted Rand Index of a clustering against ground-truth labels —
+    the chance-corrected partition-agreement metric completing the eval
+    family (pairwise F1 = raw pair agreement, B-cubed = per-record, ARI =
+    agreement corrected for what random partitions would score).
+
+    clusters(id_col, cluster_id) × truth(id_col, entity_id) → ONE row
+    (n_records, ari).
+
+    Scalable shape: identical to bcubed_df — one inner join, one groupBy
+    to the contingency cells (at most one per record), two tiny marginal
+    re-aggregations, three one-row crossJoins. Shuffle volume O(records),
+    output a scalar.
+
+    Determinism: every accumulated sum is INTEGER (Σ C(x,2) via
+    ``x*(x-1) div 2`` on longs — exact, order-free under partial
+    aggregation); only the final one-row ARI expression touches doubles,
+    one IEEE evaluation of four exact longs, bit-identical on any engine.
+    ARI = (Σ_cells C(o,2) - E) / (max - E) with
+    E = Σ_a C(a,2) * Σ_b C(b,2) / C(n,2), max = (Σ_a + Σ_b)/2; the
+    degenerate denominator (both partitions all-singletons or both one
+    cluster) returns 1.0 by convention.
+    """
+    asg = clusters.select(id_col, "cluster_id").join(
+        truth.select(id_col, "entity_id"), id_col
+    )
+    cells = asg.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+
+    def comb2(col: str):
+        return F.expr(f"{col} * ({col} - 1L) div 2")
+
+    core = cells.agg(
+        F.sum("o").alias("n_records"),
+        F.sum(comb2("o")).alias("sum_cells"),
+    )
+    sum_a = (
+        cells.groupBy("cluster_id")
+        .agg(F.sum("o").alias("sz"))
+        .agg(F.sum(comb2("sz")).alias("sum_a"))
+    )
+    sum_b = (
+        cells.groupBy("entity_id")
+        .agg(F.sum("o").alias("sz"))
+        .agg(F.sum(comb2("sz")).alias("sum_b"))
+    )
+    one = core.crossJoin(sum_a).crossJoin(sum_b)
+    n = F.col("n_records").cast("double")
+    total_pairs = n * (n - 1) / 2
+    expected = F.col("sum_a") * F.col("sum_b") / total_pairs
+    max_ = (F.col("sum_a") + F.col("sum_b")) / F.lit(2.0)
+    ari = F.when(max_ - expected == 0, F.lit(1.0)).otherwise(
+        (F.col("sum_cells") - expected) / (max_ - expected)
+    )
+    return one.select(
+        "n_records", F.round(ari, 6).alias("ari")
+    )
+
+
 def pairwise_f1(
     labeled_pairs: DataFrame,
     clusters: DataFrame,

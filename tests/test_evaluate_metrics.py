@@ -149,3 +149,80 @@ def test_blocking_quality_single_action_plan(spark):
     n_df = spark.createDataFrame([(2,)], "n long")
     plan = blocking_quality_df(lab_df, cand_df, n_df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# adjusted_rand_index_df
+# ---------------------------------------------------------------------------
+
+
+def _ari_reference(pred: dict, true: dict) -> float:
+    """Literal ARI from the textbook contingency formula (python ints)."""
+    from collections import Counter
+    from math import comb
+
+    ids = sorted(set(pred) & set(true))
+    cells = Counter((pred[i], true[i]) for i in ids)
+    a = Counter(pred[i] for i in ids)
+    b = Counter(true[i] for i in ids)
+    n = len(ids)
+    s_cells = sum(comb(o, 2) for o in cells.values())
+    s_a = sum(comb(x, 2) for x in a.values())
+    s_b = sum(comb(x, 2) for x in b.values())
+    exp = s_a * s_b / comb(n, 2)
+    mx = (s_a + s_b) / 2
+    if mx - exp == 0:
+        return 1.0
+    return (s_cells - exp) / (mx - exp)
+
+
+def _asg_dfs(spark, pred: dict, true: dict):
+    cl = spark.createDataFrame(
+        [(k, v) for k, v in pred.items()], "conv_id string, cluster_id string"
+    )
+    tr = spark.createDataFrame(
+        [(k, v) for k, v in true.items()], "conv_id string, entity_id string"
+    )
+    return cl, tr
+
+
+def test_ari_matches_reference_formula(spark):
+    from hexspark.pipeline.evaluate import adjusted_rand_index_df
+
+    pred = {f"r{i}": f"c{i // 3}" for i in range(12)}       # clusters of 3
+    true = {f"r{i}": f"e{i // 4}" for i in range(12)}       # entities of 4
+    row = adjusted_rand_index_df(*_asg_dfs(spark, pred, true)).collect()[0]
+    assert row["n_records"] == 12
+    assert row["ari"] == pytest.approx(_ari_reference(pred, true), abs=1e-6)
+
+
+def test_ari_randomized_vs_reference(spark):
+    import random
+
+    from hexspark.pipeline.evaluate import adjusted_rand_index_df
+
+    rng = random.Random(17)
+    for trial in range(3):
+        pred = {f"r{i}": f"c{rng.randint(0, 4)}" for i in range(40)}
+        true = {f"r{i}": f"e{rng.randint(0, 3)}" for i in range(40)}
+        row = adjusted_rand_index_df(*_asg_dfs(spark, pred, true)).collect()[0]
+        assert row["ari"] == pytest.approx(
+            _ari_reference(pred, true), abs=1e-6
+        ), trial
+
+
+def test_ari_perfect_and_degenerate(spark):
+    from hexspark.pipeline.evaluate import adjusted_rand_index_df
+
+    # identical partitions -> 1.0
+    pred = {f"r{i}": f"c{i // 2}" for i in range(8)}
+    row = adjusted_rand_index_df(*_asg_dfs(spark, pred, pred)).collect()[0]
+    assert row["ari"] == pytest.approx(1.0)
+    # both all-singletons -> degenerate denominator -> 1.0 by convention
+    singles = {f"r{i}": f"s{i}" for i in range(5)}
+    row = adjusted_rand_index_df(*_asg_dfs(spark, singles, singles)).collect()[0]
+    assert row["ari"] == pytest.approx(1.0)
+    # inner-join universe: records missing from truth are dropped
+    pred2 = dict(pred, extra="cX")
+    row = adjusted_rand_index_df(*_asg_dfs(spark, pred2, pred)).collect()[0]
+    assert row["n_records"] == 8
