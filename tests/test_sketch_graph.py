@@ -347,3 +347,32 @@ def test_bloom_prune_literal_equals_join_form(spark):
         .executedPlan().toString()
     for bad in ("Exchange", "Join", "Generate", "Aggregate"):
         assert bad not in plan, bad
+
+
+def test_graph_ops_accept_precomputed_triangles(spark):
+    """Passing a precomputed triangles() output must give identical
+    results to the internal enumeration for all three consumers."""
+    import random
+
+    from hexspark.ops.graph import (
+        bridge_edges,
+        node_triangle_counts,
+        robust_components,
+        triangles,
+    )
+
+    rng = random.Random(9)
+    edges = [(f"n{rng.randint(0, 11)}", f"n{rng.randint(0, 11)}") for _ in range(40)]
+    df = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "id_a string, id_b string"
+    )
+    tri = triangles(df).persist()
+
+    for fn in (node_triangle_counts, bridge_edges):
+        auto = {tuple(r) for r in fn(df).collect()}
+        pre = {tuple(r) for r in fn(df, tri=tri).collect()}
+        assert auto == pre, fn.__name__
+    auto_c, _ = robust_components(df)
+    pre_c, _ = robust_components(df, tri=tri)
+    assert {tuple(r) for r in auto_c.collect()} == {tuple(r) for r in pre_c.collect()}
+    tri.unpersist()
