@@ -619,108 +619,66 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id_a", "vec_id_b", F.round("sim", 6).alias("sim"))
 
 
-def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized Jaro-Winkler (B6 secondary scorer) on adjacent doc pairs'
-    canonical 32-char keys — oracled against DuckDB's jaro_winkler_similarity."""
-    from hexspark import columns as C
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.substring("text", 1, 32).alias("canon")
-    )
-    a, b = docs.alias("a"), docs.alias("b")
-    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
-        F.col("a.doc_id").alias("doc_id_a"),
-        F.col("b.doc_id").alias("doc_id_b"),
-        F.round(C.jaro_winkler(F.col("a.canon"), F.col("b.canon")), 6).alias("jw"),
-    )
-
-
-def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein scoring family (pipeline/scoring.edit_distance) on
-    adjacent doc pairs' canonical keys — the insert/delete-tolerant
-    complement to hamming (A2) and Jaro-Winkler. Three forms per pair:
-    the full distance, the BOUNDED distance (threshold 12 → -1 beyond it,
-    Spark's banded O(len·t) DP — the edit-distance analogue of A3's
-    mid-scan early exit, python_hexhamming.cc:62-64), and the normalized
+def q_string_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both secondary string-scorer families (B6) over ONE adjacent-pair
+    construction — round-3's q_jaro_winkler and q_edit_distance_pairs
+    consolidated so every operator fits the driver's 50-query correctness
+    window without losing a hash-checked column. Per pair: vectorized
+    Jaro-Winkler on the 32-char canonical key (oracled against DuckDB's
+    jaro_winkler_similarity), plus the Levenshtein family on the 40-char
+    key — full distance, BOUNDED distance (threshold 12 → -1 beyond it,
+    Spark's banded O(len·t) DP, the edit-distance analogue of A3's
+    mid-scan early exit, python_hexhamming.cc:62-64), and normalized
     similarity. All pure Catalyst codegen; no Python boundary."""
+    from hexspark import columns as C
     from hexspark.pipeline.scoring import edit_distance, edit_similarity
 
     docs = _docs(spark, sf_dir).select(
-        "doc_id", F.substring("text", 1, 40).alias("canon")
+        "doc_id",
+        F.substring("text", 1, 32).alias("c32"),
+        F.substring("text", 1, 40).alias("c40"),
     )
     a, b = docs.alias("a"), docs.alias("b")
-    ca, cb = F.col("a.canon"), F.col("b.canon")
+    ca, cb = F.col("a.c40"), F.col("b.c40")
     return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
         F.col("a.doc_id").alias("doc_id_a"),
         F.col("b.doc_id").alias("doc_id_b"),
+        F.round(C.jaro_winkler(F.col("a.c32"), F.col("b.c32")), 6).alias("jw"),
         edit_distance(ca, cb).cast("long").alias("lev"),
         edit_distance(ca, cb, 12).cast("long").alias("lev_capped"),
         F.round(edit_similarity(ca, cb), 6).alias("edit_sim"),
     )
 
 
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hexspark.ops.text import token_count
-
-    docs = _docs(spark, sf_dir)
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text-analysis operator in ONE projection over
+    ONE scan — round-3's q_quality_scores, q_doc_fingerprints and
+    q_lang_marker_scores consolidated (same hash-checked columns, one
+    driver-correctness slot, one table scan instead of three): BPE-ish
+    token count, stopword hits, punctuation ratio, composite quality
+    score, rolling-hash document fingerprint, and the n-gram language-ID
+    marker hits. All pure Catalyst codegen — exactly what a 100-TB
+    quality-filter pass wants: one pass, no shuffle, no Python."""
+    from hexspark.ops.text import (
+        doc_fingerprint,
+        lang_scores,
+        punct_ratio,
+        quality_score,
+        stopword_hits,
+        token_count,
     )
 
-
-def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hexspark.ops.text import punct_ratio, quality_score, stopword_hits, token_count
-
     docs = _docs(spark, sf_dir)
+    scores = lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         stopword_hits(F.col("text")).cast("long").alias("stop_hits"),
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         quality_score(F.col("text")).alias("quality"),
-    )
-
-
-def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hexspark.ops.text import doc_fingerprint
-
-    return _docs(spark, sf_dir).select(
-        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
-    )
-
-
-def q_lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hexspark.ops.text import lang_scores
-
-    docs = _docs(spark, sf_dir)
-    scores = lang_scores(F.col("text"))
-    return docs.select(
-        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fp"),
         *[scores[lang].cast("long").alias(f"{lang}_hits") for lang in sorted(scores)],
     )
-
-
-# --- non-SQL-expressible ops (rows-only driver check; semantics pinned by
-# pytest oracles instead) ----------------------------------------------------
-
-
-def _synthetic_pipeline(spark: SparkSession):
-    from hexspark import fixtures
-    from hexspark.pipeline import assemble, blocking, clustering, scoring, simhash
-
-    tr = fixtures.transcripts_df(spark, n_base=40, seed=42, mutation_rate=0.01)
-    convs = assemble.assemble_conversations(tr)
-    # persisted: blocking's skew probe + its several subtrees would each
-    # re-run the fingerprint stage otherwise (runner materializes this
-    # stage to a table; a cache serves the same role here)
-    sigs = simhash.signatures(convs).persist()
-    pairs, _ = blocking.candidate_pairs(sigs)
-    edges = scoring.match_edges(scoring.score_pairs(pairs, sigs), max_dist=40)
-    cc, _ = clustering.connected_components(edges)
-    clusters = clustering.with_singletons(cc, sigs.select("conv_id"))
-    return sigs, pairs, edges, clusters
 
 
 def q_dedup_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,17 +705,24 @@ def q_dedup_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.select("doc_id").exceptAll(survivors)
 
 
-def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of document length per language —
-    order-statistic aggregates (the one aggregate family the contract did
-    not yet exercise). Spark `percentile` and DuckDB `quantile_cont` share
-    the linear-interpolation definition, so values hash-match exactly; at
-    100 TB the same query swaps to `approx_percentile` (t-digest sketch,
-    one pass, mergeable) at the cost of oracle exactness."""
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile in ONE aggregate — round-3's
+    q_token_stats and q_length_percentiles consolidated (same hash-checked
+    columns, one driver slot, one scan): doc/token counts, mean length,
+    and exact interpolated length percentiles. Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition, so
+    values hash-match exactly; at 100 TB the same query swaps to
+    `approx_percentile` (t-digest sketch, one pass, mergeable) at the
+    cost of oracle exactness. avg/percentile inputs are ints, so partial
+    sums are exact in double — no summation-order sensitivity."""
+    from hexspark.ops.text import token_count
+
     docs = _docs(spark, sf_dir)
     n = F.col("n_chars").cast("double")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
         F.round(F.percentile(n, F.lit(0.25)), 4).alias("p25"),
         F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile(n, F.lit(0.75)), 4).alias("p75"),
@@ -802,16 +767,17 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # formatting ambiguity in the value-hash, no session-tz dependence
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
-        # Exact decimal accumulation: double summation is order-dependent
-        # and Spark's partial-agg order varies with partitioning, so a raw
-        # SUM(double) can flip the 4th decimal between environments (the one
-        # red row of round 2). Decimal(38,9) holds every events.value exactly
-        # (values are small, few fractional digits), the sum is exact and
-        # associative, rounding is then deterministic; cast back to double
-        # keeps the published schema unchanged.
-        F.round(F.sum(F.col("value").cast("decimal(38,9)")), 4)
-        .cast("double")
-        .alias("sum_value"),
+        # All-integer accumulation: two rounds of decimal/round tuning still
+        # hash-mismatched on the driver (engine-version-dependent decimal
+        # round semantics), so eliminate the float path entirely. events.value
+        # is a 2-decimal amount stored as double (max |value*100 - nearest
+        # integer| is 4e-12 across every SF), so round(value*100) is an exact,
+        # unambiguous long on both engines; the sum of longs is exact and
+        # associative regardless of partial-agg order. Same trick as
+        # streaming/sessions.py integer-micro sums.
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "sum_value_cents"
+        ),
     )
 
 
@@ -949,38 +915,72 @@ def _split_bounds() -> list[int]:
     return bounds
 
 
-def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-stable train/val/test assignment (ops/sampling.split_assign),
-    DuckDB-oracled: every doc_id maps to a split by cutting the 48-bit
-    md5-hash range — same key, same split, on any engine, any partitioning,
-    any table size (df.sample can't promise any of that). Pure codegen
-    projection: no shuffle, survives a 100-TB scan as a filter."""
-    from hexspark.ops.sampling import split_assign
-
-    docs = _docs(spark, sf_dir).select("doc_id")
-    return split_assign(docs, "doc_id", _SPLIT_WEIGHTS, salt="s0")
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-20-per-language sample (ops/sampling.stratified_sample_n),
-    DuckDB-oracled: bottom-20 of a uniform key hash within each stratum —
-    deterministic reservoir semantics with no RNG state. One hash exchange
-    on lang + per-partition top-n, the same envelope as any window top-k."""
-    from hexspark.ops.sampling import stratified_sample_n
+def q_sample_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic-sampling operators over ONE per-doc output —
+    round-3's q_sample_splits and q_stratified_sample consolidated (same
+    hash-checked semantics, one driver slot). split: content-stable
+    train/val/test via cutting the 48-bit md5-hash range (same key → same
+    split on any engine, any partitioning, any table size — df.sample can
+    promise none of that; pure codegen, survives a 100-TB scan as a
+    filter). in_stratified: membership in the exactly-20-per-language
+    sample (ops/sampling.stratified_sample_n — bottom-20 of a uniform key
+    hash within each stratum, deterministic reservoir semantics with no
+    RNG state; one hash exchange on lang + per-partition top-n)."""
+    from hexspark.ops.sampling import split_assign, stratified_sample_n
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    return stratified_sample_n(docs, strata="lang", key="doc_id", n_per_stratum=20)
+    splits = split_assign(docs.select("doc_id"), "doc_id", _SPLIT_WEIGHTS, salt="s0")
+    strat = stratified_sample_n(
+        docs, strata="lang", key="doc_id", n_per_stratum=20
+    ).select("doc_id", F.lit(True).alias("in_stratified"))
+    return splits.join(strat, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("in_stratified", F.lit(False)).alias("in_stratified"),
+    )
 
 
 def q_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable SimHash twin (fingerprint semantics, B3 family):
     md5-based 256-bit SimHash over documents, pure Catalyst expressions,
-    mirrored bit-for-bit by the DuckDB oracle. The production pipeline
-    keeps its faster Arrow kernel (pipeline/simhash.py); this pins the
-    tokenize → per-token hash → ±1 bit votes → sign semantics hash-green."""
+    mirrored bit-for-bit by a DuckDB oracle. Retired from the driver's
+    50-query window in round 4 (the PRODUCTION kernel stays pinned there
+    via simhash_prod + pipeline_e2e); this twin keeps its hash-exact
+    DuckDB comparison in tests/test_entry_oracles.py, which runs this
+    function against SIMHASH_SQL_TWIN_ORACLE every pytest run."""
     from hexspark.ops.text import simhash_sql
 
     return simhash_sql(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+# DuckDB mirror for q_simhash_sql — consumed by tests/test_entry_oracles.py
+# (no longer in oracle_sql(): the driver caps correctness rows at 50)
+SIMHASH_SQL_TWIN_ORACLE = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.tok AS tok
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    hx AS (
+      SELECT doc_id, md5(tok) || md5(tok || '#1') AS hx FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, g.b AS b,
+             SUM(CASE WHEN (('0x' || substr(hx, (g.b // 4) + 1, 1))::INT
+                            >> (3 - (g.b % 4))) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM hx, generate_series(0, 255) AS g(b)
+      GROUP BY doc_id, g.b
+    ),
+    nibbles AS (
+      SELECT doc_id, b // 4 AS n,
+             SUM(CASE WHEN vote >= 0 THEN (1 << (3 - (b % 4))) ELSE 0 END) AS nv
+      FROM votes GROUP BY doc_id, b // 4
+    )
+    SELECT doc_id, string_agg(printf('%x', nv::INT), '' ORDER BY n) AS sig_hex
+    FROM nibbles GROUP BY doc_id
+"""
 
 
 def q_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,16 +1008,6 @@ def q_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select(
         F.col("conv_id").cast("long").alias("doc_id"), "sig_hex"
     )
-
-
-def q_pipeline_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs, _, _, _ = _synthetic_pipeline(spark)
-    return sigs.select("conv_id", "sig_hex", "n_turns", "n_chars")
-
-
-def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, _, _, clusters = _synthetic_pipeline(spark)
-    return clusters
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,47 +1064,39 @@ def _demo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_singletons(_demo_cc(spark, sf_dir), docs.select(F.col("doc_id").alias("conv_id")))
 
 
-def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B-cubed precision/recall/F1 (pipeline/evaluate.bcubed_df) of the
-    hamming-CC clustering against lang as the 'entity' label — the standard
-    per-record ER metric next to pairwise F1 (B12). The DataFrame uses the
-    contingency-cell identity (sum of o²/size over non-empty cells), so the
-    whole metric is one groupBy + two tiny size joins — no per-record
-    window, no pair explosion; per-cell quotients are decimal-rounded
-    before summing so the aggregate is order-independent (the exact failure
-    mode that made round-2's event_sessions red). The oracle recomputes the
-    clustering with the recursive min-label CTE and the same cell sums."""
-    from hexspark.pipeline.evaluate import bcubed_df
+def q_partition_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed AND Adjusted Rand Index of the hamming-CC clustering
+    against lang as the truth partition, in one row — round-3's q_bcubed
+    and q_ari consolidated (same clusters, same truth, same hash-checked
+    metrics, one driver slot; both consume the shared persisted
+    _demo_clusters, so the merge also halves the demo's CC cost).
+
+    B-cubed (pipeline/evaluate.bcubed_df) uses the contingency-cell
+    identity (Σ o²/size over non-empty cells) — one groupBy + two tiny
+    size joins, per-cell quotients decimal-rounded before summing so the
+    aggregate is order-independent. ARI
+    (pipeline/evaluate.adjusted_rand_index_df) accumulates only integers
+    (Σ C(x,2) as x*(x-1) div 2); the marginal product is promoted to
+    double BEFORE multiplying (longs wrap past ~1e8 records), and only
+    the final one-row expression divides doubles. The oracle recomputes
+    the clustering with the recursive min-label CTE and both metric
+    families from the same cells CTE."""
+    from hexspark.pipeline.evaluate import adjusted_rand_index_df, bcubed_df
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
     truth = docs.select(
         F.col("doc_id").alias("conv_id"), F.col("lang").alias("entity_id")
     )
-    out = bcubed_df(_demo_clusters(spark, sf_dir), truth, id_col="conv_id")
-    return out.select(
+    clusters = _demo_clusters(spark, sf_dir)
+    b = bcubed_df(clusters, truth, id_col="conv_id")
+    a = adjusted_rand_index_df(clusters, truth).select("ari")
+    return b.crossJoin(a).select(
         "n_records",
         F.round("bcubed_precision", 6).alias("bcubed_precision"),
         F.round("bcubed_recall", 6).alias("bcubed_recall"),
         F.round("bcubed_f1", 6).alias("bcubed_f1"),
+        "ari",
     )
-
-
-def q_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adjusted Rand Index (pipeline/evaluate.adjusted_rand_index_df) of
-    the hamming-CC clustering (incl. singletons) against lang as the truth
-    partition — the chance-corrected third member of the eval family next
-    to pairwise F1 and B-cubed. Every accumulated sum is an integer
-    (Σ C(x,2) as x*(x-1) div 2), so the aggregate is order-free; only the
-    final one-row expression divides doubles. The oracle recomputes the
-    clustering with the recursive min-label CTE and the same integer
-    marginals."""
-    from hexspark.pipeline.evaluate import adjusted_rand_index_df
-
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
-    truth = docs.select(
-        F.col("doc_id").alias("conv_id"), F.col("lang").alias("entity_id")
-    )
-    return adjusted_rand_index_df(_demo_clusters(spark, sf_dir), truth)
 
 
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,14 +1147,23 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record-level survivorship (pipeline/canonicalize.golden_records):
-    one canonical member per cluster by (longest text, smallest id) — the
-    stage between B9 canonical ids and B10 sinks that makes downstream
-    consumers see one row per entity. One hash exchange on cluster_id + a
-    per-partition top-1 window; the oracle mirrors the recursive-CTE
-    clustering + the same row_number preference."""
-    from hexspark.pipeline.canonicalize import golden_records
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both survivorship operators joined at the cluster grain — round-3's
+    q_golden_records and q_fused_attributes consolidated (same hash-checked
+    columns, one driver slot, one shared _demo_clusters consumption).
+
+    Record-level (pipeline/canonicalize.golden_records): one canonical
+    member per cluster by (longest text, smallest id) — the stage between
+    B9 canonical ids and B10 sinks that makes downstream consumers see one
+    row per entity; one hash exchange on cluster_id + a per-partition
+    top-1 window. Attribute-level (canonicalize.fuse_attributes): modal
+    non-null lang per cluster, smallest-value tiebreak — the count is
+    map-side combinable, so that shuffle carries one row per distinct
+    (cluster, value). The join keying both to one row is cluster_id =
+    cluster_id: broadcast-sized per cluster, never wider than the golden
+    table itself. The oracle mirrors the recursive-CTE clustering + the
+    same row_number preference + the same modal-value ranking."""
+    from hexspark.pipeline.canonicalize import fuse_attributes, golden_records
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
     recs = docs.select(
@@ -1180,32 +1171,18 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.length("text").cast("long").alias("n_chars"),
     )
-    out = golden_records(
-        _demo_clusters(spark, sf_dir), recs, "conv_id",
-        order_by=[F.desc("n_chars")],
+    clusters = _demo_clusters(spark, sf_dir)
+    golden = golden_records(
+        clusters, recs, "conv_id", order_by=[F.desc("n_chars")]
     )
-    return out.select(
+    fused = fuse_attributes(clusters, recs.select("conv_id", "lang"), "conv_id", ["lang"])
+    return golden.join(fused, "cluster_id").select(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("conv_id").cast("long").alias("doc_id"),
         "lang",
         "n_chars",
         "n_members",
-    )
-
-
-def q_fused_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attribute-level survivorship (pipeline/canonicalize.fuse_attributes):
-    modal non-null value per cluster per field, smallest-value tiebreak.
-    The count is map-side combinable, so the shuffle carries one row per
-    distinct (cluster, value) — the right envelope when clusters are large
-    and values are few."""
-    from hexspark.pipeline.canonicalize import fuse_attributes
-
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
-    recs = docs.select(F.col("doc_id").alias("conv_id"), "lang")
-    out = fuse_attributes(_demo_clusters(spark, sf_dir), recs, "conv_id", ["lang"])
-    return out.select(
-        F.col("cluster_id").cast("long").alias("cluster_id"), "fused_lang"
+        "fused_lang",
     )
 
 
@@ -1694,8 +1671,127 @@ def q_link_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table linkage EVALUATION (pipeline/evaluate.linkage_quality_df)
+    — precision/recall/F1 + reduction ratio over the A×B universe, closing
+    the gap that every round-3 eval operator assumed the dedup
+    (single-table) setting. The demo plants its own ground truth: table A
+    is the documents table; table B is a full copy with ids offset by 10^6
+    and every 5th text deterministically perturbed, and EVERY (id, id+10^6)
+    pair is labeled a true match. The production clean-clean blocker
+    (pipeline/linkage.link_candidate_pairs_wide, 16-band × 16-bit on
+    md5-pair signatures) + chunked hamming gate then predict links:
+    unperturbed copies land at dist 0 (tp), perturbed copies avalanche to
+    ~128 and vanish from the candidate stream (fn — the honest recall
+    denominator counts them), and any random band collision under the gate
+    is an fp. reduction_ratio uses |A|·|B| as the denominator (NOT C(n,2)
+    — ids never pair within a table), computed from the two record counts
+    as a double product, never materialized. The oracle replays blocking,
+    gate, truth, and all four metric formulas in SQL."""
+    from hexspark.pipeline.evaluate import linkage_quality_df
+    from hexspark.pipeline.linkage import link_candidate_pairs_wide
+    from hexspark.pipeline.scoring import hamming_jvm
+
+    docs = _docs(spark, sf_dir)
+    b_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("#PERTURB"))
+    ).otherwise(F.col("text"))
+
+    def side(src: DataFrame) -> DataFrame:
+        sig = F.concat(
+            _md5(F.col("text")), _md5(F.concat(F.col("text"), F.lit("#2")))
+        )
+        return src.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            sig.alias("sig_hex"),
+            F.substring(F.lower(F.col("text")), 1, 32).alias("canon"),
+        )
+
+    A = side(docs.select("doc_id", "text"))
+    B = side(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), b_text.alias("text")
+        )
+    )
+    cand, _ = link_candidate_pairs_wide(A, B)
+    cand_ids = cand.select(
+        F.col("conv_id_a").cast("long").alias("conv_id_a"),
+        F.col("conv_id_b").cast("long").alias("conv_id_b"),
+    )
+    predicted = (
+        cand.withColumn("hamming_dist", hamming_jvm())
+        .where(F.col("hamming_dist") <= 150)
+        .select(
+            F.col("conv_id_a").cast("long").alias("conv_id_a"),
+            F.col("conv_id_b").cast("long").alias("conv_id_b"),
+        )
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("conv_id_a"),
+        (F.col("doc_id") + 1_000_000).alias("conv_id_b"),
+    )
+    n_a = docs.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = docs.agg(F.count(F.lit(1)).alias("n_b"))
+    out = linkage_quality_df(predicted, truth, n_a, n_b, candidate_pairs=cand_ids)
+    return out.select(
+        "tp",
+        "fp",
+        "fn",
+        "n_candidates",
+        "n_a",
+        "n_b",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("reduction_ratio", 9).alias("reduction_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries — the driver's correctness file caps at 50 rows
+    # (round 3 shipped 59 and the last 9 were silently untested). Order is
+    # least-proven first: the 9 queries that missed CORRECTNESS_r03, then
+    # everything new/changed this round, then the long-green stable set —
+    # so even a smaller cap would still check the queries that need it.
+    # Round-3 keys that are gone were CONSOLIDATED, not dropped:
+    #   jaro_winkler + edit_distance_pairs      -> string_sim_pairs
+    #   quality_scores + doc_fingerprints
+    #     + lang_marker_scores                  -> doc_profile
+    #   token_stats + length_percentiles        -> lang_profile
+    #   bcubed + ari                            -> partition_agreement
+    #   golden_records + fused_attributes       -> survivorship
+    #   sample_splits + stratified_sample       -> sample_assignments
+    # (every hash-checked column survives inside the merged query), and
+    # two rows retired with their evidence strictly superseded:
+    #   simhash_sql (md5-vote twin; the PRODUCTION kernel stays pinned by
+    #     simhash_prod + pipeline_e2e + the committed golden fixture, and
+    #     the twin keeps its own pytest-vs-DuckDB oracle in
+    #     tests/test_entry_oracles.py)
+    #   pipeline_signatures / pipeline_clusters (rows-only by design —
+    #     DuckDB can't see their fixture input; pipeline_e2e hash-checks
+    #     the same assemble->fingerprint composition on driver data)
     return {
+        # -- missed CORRECTNESS_r03 (driver 50-row cap) — least proven --
+        "triangle_counts": q_triangle_counts,
+        "token_block_pairs": q_token_block_pairs,
+        "hll_distinct": q_hll_distinct,
+        "salted_join_agg": q_salted_join_agg,
+        "bridge_edges": q_bridge_edges,
+        "robust_clusters": q_robust_clusters,
+        "pipeline_e2e": q_pipeline_e2e,
+        "link_pairs": q_link_pairs,
+        "link_best": q_link_best,
+        # -- new or changed this round --
+        "linkage_f1": q_linkage_f1,
+        "event_sessions": q_event_sessions,
+        "string_sim_pairs": q_string_sim_pairs,
+        "doc_profile": q_doc_profile,
+        "lang_profile": q_lang_profile,
+        "partition_agreement": q_partition_agreement,
+        "survivorship": q_survivorship,
+        "sample_assignments": q_sample_assignments,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        # -- stable hash-green since rounds 1-3 --
         "hamming_pairs": q_hamming_pairs,
         "within_dist_by_lang": q_within_dist_by_lang,
         "probe_first_match": q_probe_first_match,
@@ -1711,33 +1807,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        "jaro_winkler": q_jaro_winkler,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "doc_fingerprints": q_doc_fingerprints,
-        "lang_marker_scores": q_lang_marker_scores,
         "dedup_removed_docs": q_dedup_removed_docs,
-        "length_percentiles": q_length_percentiles,
-        "event_sessions": q_event_sessions,
         "top_orders_per_customer": q_top_orders_per_customer,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "pairwise_f1": q_pairwise_f1,
-        "sample_splits": q_sample_splits,
-        "stratified_sample": q_stratified_sample,
-        "simhash_sql": q_simhash_sql,
         "simhash_prod": q_simhash_prod,
-        "pipeline_signatures": q_pipeline_signatures,
-        "pipeline_clusters": q_pipeline_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
-        "bcubed": q_bcubed,
-        "ari": q_ari,
         "blocking_quality": q_blocking_quality,
-        "golden_records": q_golden_records,
-        "fused_attributes": q_fused_attributes,
         "snm_pairs": q_snm_pairs,
         "prefix_jaccard": q_prefix_jaccard,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1746,15 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipass_candidates": q_multipass_candidates,
         "cms_token_counts": q_cms_token_counts,
         "bloom_prune_orders": q_bloom_prune_orders,
-        "triangle_counts": q_triangle_counts,
-        "token_block_pairs": q_token_block_pairs,
-        "hll_distinct": q_hll_distinct,
-        "salted_join_agg": q_salted_join_agg,
-        "bridge_edges": q_bridge_edges,
-        "robust_clusters": q_robust_clusters,
-        "pipeline_e2e": q_pipeline_e2e,
-        "link_pairs": q_link_pairs,
-        "link_best": q_link_best,
     }
 
 
@@ -2023,32 +2092,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT probe_id, vec_id, round(sim, 6) AS sim, rank::BIGINT AS rank
             FROM r WHERE rank <= 5
         """,
-        "jaro_winkler": """
-            WITH c AS (SELECT doc_id, substr(text, 1, 32) AS canon FROM documents)
+        "string_sim_pairs": """
+            WITH c AS (SELECT doc_id, substr(text, 1, 32) AS c32,
+                              substr(text, 1, 40) AS c40 FROM documents)
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   round(jaro_winkler_similarity(a.canon, b.canon), 6) AS jw
-            FROM c a JOIN c b ON b.doc_id = a.doc_id + 1
-        """,
-        "edit_distance_pairs": """
-            WITH c AS (SELECT doc_id, substr(text, 1, 40) AS canon FROM documents)
-            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   levenshtein(a.canon, b.canon)::BIGINT AS lev,
-                   (CASE WHEN levenshtein(a.canon, b.canon) <= 12
-                         THEN levenshtein(a.canon, b.canon) ELSE -1 END)::BIGINT
+                   round(jaro_winkler_similarity(a.c32, b.c32), 6) AS jw,
+                   levenshtein(a.c40, b.c40)::BIGINT AS lev,
+                   (CASE WHEN levenshtein(a.c40, b.c40) <= 12
+                         THEN levenshtein(a.c40, b.c40) ELSE -1 END)::BIGINT
                        AS lev_capped,
-                   round(CASE WHEN greatest(len(a.canon), len(b.canon)) = 0 THEN 1.0
-                              ELSE 1.0 - levenshtein(a.canon, b.canon)
-                                    / greatest(len(a.canon), len(b.canon)) END,
+                   round(CASE WHEN greatest(len(a.c40), len(b.c40)) = 0 THEN 1.0
+                              ELSE 1.0 - levenshtein(a.c40, b.c40)
+                                    / greatest(len(a.c40), len(b.c40)) END,
                          6) AS edit_sim
             FROM c a JOIN c b ON b.doc_id = a.doc_id + 1
         """,
-        "token_stats": """
-            SELECT lang, count(*)::BIGINT AS n_docs,
-                   sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
-                   round(avg(len(text)), 4) AS avg_chars
-            FROM documents GROUP BY lang
-        """,
-        "quality_scores": f"""
+        "doc_profile": f"""
             WITH q AS (
               SELECT doc_id,
                      len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -2056,18 +2115,21 @@ def oracle_sql() -> dict[str, str]:
                                      x -> x IN {_STOP_SQL}))::BIGINT AS stop_hits,
                      (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
                        / len(text) AS pr,
-                     len(text)::DOUBLE AS n
+                     len(text)::DOUBLE AS n,
+                     substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
+                       AS fp,
+                     string_split(lower(text), ' ') AS toks
               FROM documents)
             SELECT doc_id, n_tokens, stop_hits, round(pr, 6) AS punct_ratio,
                    round(0.5 * least(n / 400.0, 1.0)
                        + 0.3 * least(stop_hits / greatest(n_tokens::DOUBLE, 1.0) * 5.0, 1.0)
-                       + 0.2 * (1.0 - least(pr * 5.0, 1.0)), 6) AS quality
+                       + 0.2 * (1.0 - least(pr * 5.0, 1.0)), 6) AS quality,
+                   fp,
+                   len(list_filter(toks, x -> x IN ('der','die','und')))::BIGINT AS de_hits,
+                   len(list_filter(toks, x -> x IN ('the','and','of')))::BIGINT AS en_hits,
+                   len(list_filter(toks, x -> x IN ('el','la','de')))::BIGINT AS es_hits,
+                   len(list_filter(toks, x -> x IN ('le','la','et')))::BIGINT AS fr_hits
             FROM q
-        """,
-        "doc_fingerprints": r"""
-            SELECT doc_id,
-                   substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
-            FROM documents
         """,
         "media_features": """
             WITH m AS (
@@ -2108,9 +2170,11 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT ALL
             SELECT doc_id FROM survivors
         """,
-        "length_percentiles": """
+        "lang_profile": """
             SELECT lang,
                    COUNT(*)::BIGINT AS n_docs,
+                   sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                   round(avg(len(text)), 4) AS avg_chars,
                    round(quantile_cont(n_chars::DOUBLE, 0.25), 4) AS p25,
                    round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50,
                    round(quantile_cont(n_chars::DOUBLE, 0.75), 4) AS p75,
@@ -2139,7 +2203,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_events,
                    epoch_us(MIN(ts))::BIGINT AS start_us,
                    epoch_us(MAX(ts))::BIGINT AS end_us,
-                   round(SUM(CAST(value AS DECIMAL(38,9))), 4)::DOUBLE AS sum_value
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM numbered GROUP BY user_id, session_seq
         """,
         "top_orders_per_customer": """
@@ -2186,27 +2250,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bit-identical 48-bit md5 hash + the exact integer boundaries
         # split_assign computes (embedded via _split_bounds)
-        "sample_splits": f"""
-            WITH h AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 12))::BIGINT AS hv
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN hv < {_split_bounds()[0]} THEN 'train'
-                        WHEN hv < {_split_bounds()[1]} THEN 'val'
-                        ELSE 'test' END AS split
-            FROM h
-        """,
-        "stratified_sample": """
+        "sample_assignments": f"""
             WITH h AS (
               SELECT doc_id, lang,
                      ('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 12))::BIGINT AS hv
               FROM documents),
             r AS (
-              SELECT doc_id, lang,
+              SELECT doc_id, hv,
                      row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
               FROM h)
-            SELECT doc_id, lang FROM r WHERE rn <= 20
+            SELECT doc_id,
+                   CASE WHEN hv < {_split_bounds()[0]} THEN 'train'
+                        WHEN hv < {_split_bounds()[1]} THEN 'val'
+                        ELSE 'test' END AS split,
+                   (rn <= 20) AS in_stratified
+            FROM r
         """,
         # same universe/label/edge thresholds as q_pairwise_f1; clustering
         # is the recursive min-label CTE, counts and F1 arithmetic in SQL
@@ -2250,44 +2308,9 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS f1
             FROM counts
         """,
-        "simhash_sql": """
-            WITH toks AS (
-              SELECT DISTINCT doc_id, t.tok AS tok
-              FROM documents,
-                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
-              WHERE t.tok <> ''
-            ),
-            hx AS (
-              SELECT doc_id, md5(tok) || md5(tok || '#1') AS hx FROM toks
-            ),
-            votes AS (
-              SELECT doc_id, g.b AS b,
-                     SUM(CASE WHEN (('0x' || substr(hx, (g.b // 4) + 1, 1))::INT
-                                    >> (3 - (g.b % 4))) & 1 = 1
-                              THEN 1 ELSE -1 END) AS vote
-              FROM hx, generate_series(0, 255) AS g(b)
-              GROUP BY doc_id, g.b
-            ),
-            nibbles AS (
-              SELECT doc_id, b // 4 AS n,
-                     SUM(CASE WHEN vote >= 0 THEN (1 << (3 - (b % 4))) ELSE 0 END) AS nv
-              FROM votes GROUP BY doc_id, b // 4
-            )
-            SELECT doc_id, string_agg(printf('%x', nv::INT), '' ORDER BY n) AS sig_hex
-            FROM nibbles GROUP BY doc_id
-        """,
         "simhash_prod": _sql_simhash_prod(),
         "pipeline_e2e": _sql_pipeline_e2e(),
-        "lang_marker_scores": """
-            WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-            SELECT doc_id,
-                   len(list_filter(toks, x -> x IN ('der','die','und')))::BIGINT AS de_hits,
-                   len(list_filter(toks, x -> x IN ('the','and','of')))::BIGINT AS en_hits,
-                   len(list_filter(toks, x -> x IN ('el','la','de')))::BIGINT AS es_hits,
-                   len(list_filter(toks, x -> x IN ('le','la','et')))::BIGINT AS fr_hits
-            FROM t
-        """,
-        "bcubed": f"""
+        "partition_agreement": f"""
             WITH RECURSIVE
             {_sql_demo_cc_ctes()},
             cells AS (SELECT cluster_id, lang AS entity_id, count(*)::BIGINT AS o
@@ -2298,39 +2321,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT sum(o)::BIGINT AS n_records,
                      sum(round(o * o / c_size, 12)::DECIMAL(32,12)) AS p_,
                      sum(round(o * o / e_size, 12)::DECIMAL(32,12)) AS r_
-              FROM cells JOIN cs USING (cluster_id) JOIN es USING (entity_id))
-            SELECT n_records,
-                   round(p_::DOUBLE / n_records, 6) AS bcubed_precision,
-                   round(r_::DOUBLE / n_records, 6) AS bcubed_recall,
-                   round(2 * (p_::DOUBLE / n_records) * (r_::DOUBLE / n_records)
-                         / ((p_::DOUBLE / n_records) + (r_::DOUBLE / n_records)),
-                         6) AS bcubed_f1
-            FROM agg
-        """,
-        # ARI: same contingency cells, integer marginal sums, one final
-        # double expression mirroring evaluate.adjusted_rand_index_df
-        "ari": f"""
-            WITH RECURSIVE
-            {_sql_demo_cc_ctes()},
-            cells AS (SELECT cluster_id, lang AS entity_id, count(*)::BIGINT AS o
-                      FROM asg GROUP BY 1, 2),
-            core AS (SELECT sum(o)::BIGINT AS n_records,
-                            sum(o * (o - 1) // 2)::BIGINT AS sum_cells
+              FROM cells JOIN cs USING (cluster_id) JOIN es USING (entity_id)),
+            -- ARI from the SAME cells CTE: integer marginal sums, double
+            -- promotion BEFORE the marginal product (overflow-safe), one
+            -- final IEEE expression mirroring adjusted_rand_index_df
+            core AS (SELECT sum(o * (o - 1) // 2)::BIGINT AS sum_cells
                      FROM cells),
             ma AS (SELECT sum(sz * (sz - 1) // 2)::BIGINT AS sum_a
                    FROM (SELECT sum(o)::BIGINT AS sz FROM cells GROUP BY cluster_id)),
             mb AS (SELECT sum(sz * (sz - 1) // 2)::BIGINT AS sum_b
                    FROM (SELECT sum(o)::BIGINT AS sz FROM cells GROUP BY entity_id)),
             x AS (SELECT n_records, sum_cells, sum_a, sum_b,
-                         (sum_a * sum_b) / (n_records::DOUBLE * (n_records - 1) / 2)
+                         (sum_a::DOUBLE * sum_b) / (n_records::DOUBLE * (n_records - 1) / 2)
                            AS expv,
                          (sum_a + sum_b) / 2.0 AS maxv
-                  FROM core, ma, mb)
-            SELECT n_records,
+                  FROM agg, core, ma, mb)
+            SELECT agg.n_records,
+                   round(p_::DOUBLE / agg.n_records, 6) AS bcubed_precision,
+                   round(r_::DOUBLE / agg.n_records, 6) AS bcubed_recall,
+                   round(2 * (p_::DOUBLE / agg.n_records) * (r_::DOUBLE / agg.n_records)
+                         / ((p_::DOUBLE / agg.n_records) + (r_::DOUBLE / agg.n_records)),
+                         6) AS bcubed_f1,
                    round(CASE WHEN maxv - expv = 0 THEN 1.0
                               ELSE (sum_cells - expv) / (maxv - expv) END,
                          6)::DOUBLE AS ari
-            FROM x
+            FROM agg, x
         """,
         "blocking_quality": f"""
             WITH
@@ -2363,35 +2378,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_candidates > 0
                               THEN n_covered / n_candidates ELSE 1.0 END,
                          6) AS pair_quality,
-                   round(CASE WHEN n * (n - 1) / 2 > 0
-                              THEN 1 - n_candidates / (n * (n - 1) / 2)
+                   round(CASE WHEN n::DOUBLE * (n - 1) / 2 > 0
+                              THEN 1 - n_candidates / (n::DOUBLE * (n - 1) / 2)
                               ELSE 0.0 END,
                          6) AS reduction_ratio
             FROM counts, nn
         """,
-        "golden_records": f"""
+        "survivorship": f"""
             WITH RECURSIVE
             {_sql_demo_cc_ctes()},
             rk AS (SELECT cluster_id, doc_id, lang, len(text)::BIGINT AS n_chars,
                           row_number() OVER (PARTITION BY cluster_id
                                              ORDER BY len(text) DESC, doc_id) AS rk,
                           count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
-                   FROM asg)
-            SELECT cluster_id, doc_id, lang, n_chars, n_members
-            FROM rk WHERE rk = 1
-        """,
-        "fused_attributes": f"""
-            WITH RECURSIVE
-            {_sql_demo_cc_ctes()},
+                   FROM asg),
             counts AS (SELECT cluster_id, lang, count(*)::BIGINT AS nn
                        FROM asg WHERE lang IS NOT NULL GROUP BY 1, 2),
             best AS (SELECT cluster_id, lang AS fused_lang,
                             row_number() OVER (PARTITION BY cluster_id
-                                               ORDER BY nn DESC, lang) AS rk
+                                               ORDER BY nn DESC, lang) AS rkf
                      FROM counts)
-            SELECT c.cluster_id, b.fused_lang
-            FROM (SELECT DISTINCT cluster_id FROM asg) c
-            LEFT JOIN (SELECT cluster_id, fused_lang FROM best WHERE rk = 1) b
+            SELECT g.cluster_id, g.doc_id, g.lang, g.n_chars, g.n_members,
+                   b.fused_lang
+            FROM (SELECT cluster_id, doc_id, lang, n_chars, n_members
+                  FROM rk WHERE rk = 1) g
+            JOIN (SELECT cluster_id, fused_lang FROM best WHERE rkf = 1) b
               USING (cluster_id)
         """,
         "snm_pairs": """
@@ -2736,5 +2747,56 @@ def oracle_sql() -> dict[str, str]:
               FROM lp)
             SELECT doc_id_a, doc_id_b, hamming_dist
             FROM ranked WHERE rl = 1 AND rr = 1
+        """,
+        # two-table linkage eval: planted truth (every id pairs with its
+        # +1e6 copy), production 16-band blocking + <=150 gate replayed,
+        # reduction ratio over |A|*|B| (double product — never C(n,2))
+        "linkage_f1": f"""
+            WITH da AS (SELECT doc_id, text FROM documents),
+            db AS (SELECT d.doc_id + 1000000 AS doc_id,
+                          CASE WHEN d.doc_id % 5 = 0 THEN d.text || '#PERTURB'
+                               ELSE d.text END AS text
+                   FROM documents d),
+            f AS (SELECT doc_id, md5(text) || md5(text || '#2') AS h, 0 AS side
+                  FROM da
+                  UNION ALL
+                  SELECT doc_id, md5(text) || md5(text || '#2') AS h, 1 AS side
+                  FROM db),
+            bands AS (SELECT doc_id, side, r.band_id AS band_id,
+                             substr(h, (r.band_id*4+1)::INT, 4) AS band_val
+                      FROM f CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r),
+            cp AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                   FROM bands a JOIN bands b
+                     ON a.band_id = b.band_id AND a.band_val = b.band_val
+                    AND a.side = 0 AND b.side = 1),
+            pred AS (SELECT cp.ia, cp.ib
+                     FROM cp JOIN f fa ON cp.ia = fa.doc_id AND fa.side = 0
+                             JOIN f fb ON cp.ib = fb.doc_id AND fb.side = 1
+                     WHERE {_sql_hamming256('fa.h', 'fb.h')} <= 150),
+            pos AS (SELECT doc_id AS ia, doc_id + 1000000 AS ib FROM documents),
+            counts AS (
+              SELECT
+                (SELECT count(*) FROM pred JOIN pos USING (ia, ib))::BIGINT AS tp,
+                (SELECT count(*) FROM pred ANTI JOIN pos USING (ia, ib))::BIGINT AS fp,
+                (SELECT count(*) FROM pos ANTI JOIN pred USING (ia, ib))::BIGINT AS fn,
+                (SELECT count(*) FROM cp)::BIGINT AS n_candidates,
+                (SELECT count(*) FROM da)::BIGINT AS n_a,
+                (SELECT count(*) FROM db)::BIGINT AS n_b)
+            SELECT tp, fp, fn, n_candidates, n_a, n_b,
+                   round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE
+                              ELSE 1.0 END, 6) AS precision,
+                   round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE
+                              ELSE 1.0 END, 6) AS recall,
+                   round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 1.0 END)
+                            + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 1.0 END) > 0
+                         THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 1.0 END)
+                                * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 1.0 END)
+                              / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 1.0 END)
+                               + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 1.0 END))
+                         ELSE 0.0 END, 6) AS f1,
+                   round(CASE WHEN n_a::DOUBLE * n_b > 0
+                              THEN 1 - n_candidates / (n_a::DOUBLE * n_b)
+                              ELSE 0.0 END, 9) AS reduction_ratio
+            FROM counts
         """,
     }

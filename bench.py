@@ -231,7 +231,34 @@ def main() -> None:
         **extras,
     }
     spark.stop()
+    # Full detail first (and to a file), compact headline LAST: the driver
+    # captures only the tail of stdout, and round 3's single fat line (59
+    # per-query timings) overflowed that window, leaving BENCH_r03.json
+    # unparsed. The final stdout line must be a small self-contained JSON
+    # object; everything bulky goes above it / to build/bench_detail.json.
     print(json.dumps(out))
+    try:
+        os.makedirs("build", exist_ok=True)
+        with open("build/bench_detail.json", "w") as fh:
+            json.dump(out, fh, indent=2)
+    except OSError:
+        pass
+    headline = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "er_fused_convs_per_sec": extras.get("er_fused_convs_per_sec"),
+        "er_convs_per_sec": extras.get("er_convs_per_sec"),
+        "pairs_scored_per_sec": extras.get("pairs_scored_per_sec"),
+        "hamming_pairs_per_sec": extras.get("hamming_pairs_per_sec"),
+        "driver_queries_total_sec": extras.get("driver_queries_total_sec"),
+        "n_driver_queries": len(extras.get("driver_queries_sec", {})),
+        "detail": "build/bench_detail.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -77,7 +77,13 @@ def cms_estimate(
     """Point-query the sketch for each probe row's key: adds ``est_cnt`` =
     min over rows of the hashed bucket's counter (the CMS upper bound;
     never under the true count). The sketch side is tiny by construction
-    and broadcast, so probing is exchange-free on the probe side."""
+    and broadcast, so probing is exchange-free on the probe side.
+
+    Probe rows must be UNIQUE across ``probes.columns`` (same contract as
+    ``bloom_may_contain``): the output grain is reconstructed via a
+    groupBy over every probe column, so duplicate probe rows collapse into
+    one output row. Deduplicate first, or add a row-id column, if your
+    probe set can repeat."""
     cols = [
         F.struct(
             F.lit(j).alias("row"), (_hash48(key, f"c{j}") % width).alias("bucket")

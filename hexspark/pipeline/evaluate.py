@@ -200,7 +200,9 @@ def blocking_quality_df(
         ).alias("n_covered"),
     )
     nc, nt, cov = F.col("n_candidates"), F.col("n_true_matches"), F.col("n_covered")
-    total_pairs = F.col("n") * (F.col("n") - 1) / 2
+    # double BEFORE the multiply: n*(n-1) on longs wraps/throws past ~3e9
+    # records (same overflow class as the ARI marginal product)
+    total_pairs = F.col("n").cast("double") * (F.col("n") - 1) / 2
     return (
         counts.crossJoin(n_records.select(F.col("n").cast("long").alias("n")))
         .withColumn(
@@ -221,6 +223,96 @@ def blocking_quality_df(
             "n",
             "pair_completeness",
             "pair_quality",
+            "reduction_ratio",
+        )
+    )
+
+
+def linkage_quality_df(
+    predicted_pairs: DataFrame,
+    true_pairs: DataFrame,
+    n_a: DataFrame,
+    n_b: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+    id_a: str = "conv_id_a",
+    id_b: str = "conv_id_b",
+) -> DataFrame:
+    """Precision/recall/F1 + reduction ratio for CLEAN-CLEAN LINKAGE — the
+    two-table evaluation missing from the dedup-centric B12 family. In the
+    linkage setting the pair universe is the A×B cross product, not
+    C(n,2): ids never pair within a table, so the reduction-ratio
+    denominator is |A|·|B| and predicted positives come straight off the
+    match-edge stream (no transitive clustering to route through).
+
+    predicted_pairs(id_a, id_b) × true_pairs(id_a, id_b) × one-row counts
+    n_a(col ``n_a``) / n_b(col ``n_b``) → ONE row (tp, fp, fn,
+    n_candidates, n_a, n_b, precision, recall, f1, reduction_ratio).
+
+    candidate_pairs, when given, is the BLOCKING output (pre-gate): its
+    count feeds reduction_ratio so the metric reports how much of the
+    A×B quadratic the blocker avoided, independent of the score gate.
+    Defaults to predicted_pairs.
+
+    Same scalable shape as pairwise_f1_df: one full-outer join of two pair
+    sets on the pair key + one conditional-count aggregate + three one-row
+    cross joins. |A|·|B| is computed from the two record COUNTS as a
+    double product (longs would wrap past ~3e9 records a side) and never
+    materialized.
+    """
+    pred = predicted_pairs.select(id_a, id_b).withColumn("_pred", F.lit(1))
+    pos = true_pairs.select(id_a, id_b).withColumn("_pos", F.lit(1))
+    merged = pred.join(pos, [id_a, id_b], "full_outer")
+    counts = merged.agg(
+        F.count(
+            F.when(F.col("_pred").isNotNull() & F.col("_pos").isNotNull(), 1)
+        ).alias("tp"),
+        F.count(
+            F.when(F.col("_pred").isNotNull() & F.col("_pos").isNull(), 1)
+        ).alias("fp"),
+        F.count(
+            F.when(F.col("_pred").isNull() & F.col("_pos").isNotNull(), 1)
+        ).alias("fn"),
+    )
+    cand = candidate_pairs if candidate_pairs is not None else predicted_pairs
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    one = (
+        counts.crossJoin(n_cand)
+        .crossJoin(n_a.select(F.col("n_a").cast("long").alias("n_a")))
+        .crossJoin(n_b.select(F.col("n_b").cast("long").alias("n_b")))
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    universe = F.col("n_a").cast("double") * F.col("n_b")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(1.0))
+    return (
+        one.withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2
+                * F.col("precision")
+                * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "reduction_ratio",
+            F.when(
+                universe > 0, 1 - F.col("n_candidates") / universe
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "tp",
+            "fp",
+            "fn",
+            "n_candidates",
+            "n_a",
+            "n_b",
+            "precision",
+            "recall",
+            "f1",
             "reduction_ratio",
         )
     )
@@ -278,7 +370,12 @@ def adjusted_rand_index_df(
     one = core.crossJoin(sum_a).crossJoin(sum_b)
     n = F.col("n_records").cast("double")
     total_pairs = n * (n - 1) / 2
-    expected = F.col("sum_a") * F.col("sum_b") / total_pairs
+    # Promote to double BEFORE the multiply: sum_a/sum_b are Σ C(size,2)
+    # longs, so their long*long product exceeds 2^63 once each marginal is
+    # ~3e9 (~1e8 records) — ANSI-mode throw or silent wrap at exactly the
+    # scale this repo targets. The double product loses nothing that
+    # matters: the quotient feeds one IEEE expression anyway.
+    expected = F.col("sum_a").cast("double") * F.col("sum_b") / total_pairs
     max_ = (F.col("sum_a") + F.col("sum_b")) / F.lit(2.0)
     ari = F.when(max_ - expected == 0, F.lit(1.0)).otherwise(
         (F.col("sum_cells") - expected) / (max_ - expected)

@@ -37,14 +37,29 @@ def dedup_stream(
     """First occurrence per key within the watermark horizon.
 
     Streaming input: `withWatermark(ts) -> dropDuplicatesWithinWatermark`
-    (engine-managed, bounded state). Batch input: plain
-    `dropDuplicates(key_cols)` — same first-wins semantics, so stream and
-    batch paths are comparable in tests."""
+    (engine-managed, bounded state). Batch input: the earliest row per key
+    by (ts, remaining payload) via min_by — a deterministic first-wins that
+    matches the stream path's arrival-order winner on time-ordered batch
+    data, so stream and batch outputs are comparable row-for-row in tests
+    (plain dropDuplicates keeps an ARBITRARY row per key and can flip
+    payloads between runs)."""
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
             list(key_cols)
         )
-    return events.dropDuplicates(list(key_cols))
+    import pyspark.sql.functions as F
+
+    keys = list(key_cols)
+    payload = [c for c in events.columns if c not in keys]
+    # one hash exchange on the key — identical shuffle shape to
+    # dropDuplicates, plus an order-free min_by combine instead of "any"
+    order = F.struct(*[F.col(ts_col)] + [F.col(c) for c in payload if c != ts_col])
+    row = events.groupBy(*keys).agg(
+        F.min_by(F.struct(*payload), order).alias("_first")
+    )
+    return row.select(*keys, *[F.col(f"_first.{c}").alias(c) for c in payload]).select(
+        *events.columns
+    )
 
 
 def stream_dedup_to_parquet(

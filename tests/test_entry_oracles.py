@@ -1,0 +1,53 @@
+"""Oracle checks for entry-file queries that live OUTSIDE the driver's
+50-row correctness window.
+
+Round 4 consolidated queries() to exactly 50 entries (the driver caps its
+correctness file at 50 rows — round 3's entries 51-59 were silently
+untested). The md5-vote SimHash twin was retired from that window because
+the PRODUCTION kernel is already pinned there three ways (simhash_prod,
+pipeline_e2e, the committed golden fixture); this test keeps the twin's
+own hash-exact DuckDB comparison running every pytest pass so the retired
+row loses no evidence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    path = os.path.join(SF_DIR, "documents.parquet").replace("'", "''")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    return con.sql(sql).df()
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return sorted(tuple(str(v) for v in row) for row in pdf.itertuples(index=False, name=None))
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_simhash_sql_twin_matches_duckdb(spark):
+    got = entrymod.q_simhash_sql(spark, SF_DIR).toPandas()
+    want = _duck(entrymod.SIMHASH_SQL_TWIN_ORACLE)
+    assert len(got) == len(want) > 0
+    assert _canon(got) == _canon(want)
+
+
+def test_queries_and_oracles_fit_driver_window():
+    """The driver checks at most 50 correctness rows; every queries() entry
+    must have an oracle (the two rows-only exceptions were retired in round
+    4), and the dict must not grow past the cap again."""
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) <= 50
+    assert set(q) == set(o)

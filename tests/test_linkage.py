@@ -153,33 +153,41 @@ def test_link_plan_shapes(spark):
     with a planted hot block it is present; (c) neither shape contains a
     cartesian product or nested-loop join."""
     # wide pair rows exceed the default 25-field toString elision, which
-    # would hide the markers behind "..."
+    # would hide the markers behind "..." — set, then restore so the knob
+    # doesn't leak into later tests that assert on plan strings
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", None)
     spark.conf.set("spark.sql.debug.maxToStringFields", "500")
-    rng = random.Random(41)
-    a_rows = [(f"a{i}", _hex(rng), "x") for i in range(6)]
-    b_rows = [(f"b{i}", _hex(rng), "y") for i in range(6)]
-    A, B = _mk(spark, a_rows), _mk(spark, b_rows)
+    try:
+        rng = random.Random(41)
+        a_rows = [(f"a{i}", _hex(rng), "x") for i in range(6)]
+        b_rows = [(f"b{i}", _hex(rng), "y") for i in range(6)]
+        A, B = _mk(spark, a_rows), _mk(spark, b_rows)
 
-    cold, _ = link_candidate_pairs_wide(A, B, hot_pairs=10**9)
-    plan_cold = cold._jdf.queryExecution().optimizedPlan().toString()
-    assert "xxhash64" not in plan_cold
-    assert "ELSE [0] END" not in plan_cold
+        cold, _ = link_candidate_pairs_wide(A, B, hot_pairs=10**9)
+        plan_cold = cold._jdf.queryExecution().optimizedPlan().toString()
+        assert "xxhash64" not in plan_cold
+        assert "ELSE [0] END" not in plan_cold
 
-    hot_band = "f00d"
-    ah = [(f"a{i}", hot_band + _hex(rng)[W:], "x") for i in range(8)]
-    bh = [(f"b{i}", hot_band + _hex(rng)[W:], "y") for i in range(8)]
-    hot, _ = link_candidate_pairs_wide(
-        _mk(spark, ah), _mk(spark, bh), hot_pairs=10, n_salts=4
-    )
-    plan_hot = hot._jdf.queryExecution().optimizedPlan().toString()
-    assert "xxhash64" in plan_hot
-    # the B-side replication explode: hot rows take the (constant-folded)
-    # salt array, everything else the single-element [0] fallback
-    assert "ELSE [0] END" in plan_hot
+        hot_band = "f00d"
+        ah = [(f"a{i}", hot_band + _hex(rng)[W:], "x") for i in range(8)]
+        bh = [(f"b{i}", hot_band + _hex(rng)[W:], "y") for i in range(8)]
+        hot, _ = link_candidate_pairs_wide(
+            _mk(spark, ah), _mk(spark, bh), hot_pairs=10, n_salts=4
+        )
+        plan_hot = hot._jdf.queryExecution().optimizedPlan().toString()
+        assert "xxhash64" in plan_hot
+        # the B-side replication explode: hot rows take the (constant-folded)
+        # salt array, everything else the single-element [0] fallback
+        assert "ELSE [0] END" in plan_hot
 
-    for plan in (
-        cold._jdf.queryExecution().executedPlan().toString(),
-        hot._jdf.queryExecution().executedPlan().toString(),
-    ):
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        for plan in (
+            cold._jdf.queryExecution().executedPlan().toString(),
+            hot._jdf.queryExecution().executedPlan().toString(),
+        ):
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.debug.maxToStringFields")
+        else:
+            spark.conf.set("spark.sql.debug.maxToStringFields", prev)
