@@ -1026,18 +1026,22 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantization ANN (the inverted-file scale path, beside
-    the LSH one): deterministic id-based centroids so DuckDB mirrors the
-    quantizer, nearest-centroid cells, probe re-ranks its n_probe=2
+    the LSH one) with a TRAINED quantizer: smallest-id seeds refined by
+    two deterministic Lloyd iterations (ops/ann.kmeans_centroids — RNG-free
+    k-means whose per-dimension means are order-free decimal sums snapped
+    to the 1e-9 grid, so DuckDB replays the TRAINING itself, not just the
+    assignment), nearest-centroid cells, probe re-ranks its n_probe=2
     nearest cells (the standard IVF recall lever — boundary neighbors are
     recovered from the runner-up cell; the oracle mirrors it with
-    rn <= 2 on the probe's centroid ranking)."""
+    rn <= 2 on the probe's centroid ranking). The oracle unrolls the two
+    Lloyd iterations as assign→mean CTE pairs."""
     from hexspark.ops.ann import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    out = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=2)
+    out = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=2, n_iters=2)
     return out.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
 
 
@@ -2049,12 +2053,45 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             SELECT probe_id, vec_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
         """,
+        # trained quantizer: the two Lloyd iterations are UNROLLED — each is
+        # an assign (argmax cosine) + per-dim mean (order-free decimal sum
+        # snapped to the 1e-9 grid, one IEEE divide, re-round to 9) — so the
+        # oracle replays kmeans_centroids' training bit-for-bit, then the
+        # same cell assignment / n_probe=2 / re-rank as before
         "ivf_ann_topk": """
-            WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
-                       FROM embeddings WHERE vec_id < 8),
+            WITH c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+                        FROM embeddings WHERE vec_id < 8),
+            a1 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                          list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS csim
+                   FROM embeddings e, c0 c),
+            cl1 AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id) AS rn FROM a1)
+                    WHERE rn = 1),
+            m1 AS (SELECT cell, g.i AS i,
+                          round(sum(round(embedding[g.i]::DOUBLE, 9)::DECIMAL(20,9))::DOUBLE
+                                / count(*), 9) AS mv
+                   FROM cl1, generate_series(1, 64) AS g(i)
+                   GROUP BY cell, g.i),
+            c1 AS (SELECT cell AS cent_id, list(mv ORDER BY i) AS cv
+                   FROM m1 GROUP BY cell),
+            a2 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                          list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS csim
+                   FROM embeddings e, c1 c),
+            cl2 AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id) AS rn FROM a2)
+                    WHERE rn = 1),
+            m2 AS (SELECT cell, g.i AS i,
+                          round(sum(round(embedding[g.i]::DOUBLE, 9)::DECIMAL(20,9))::DOUBLE
+                                / count(*), 9) AS mv
+                   FROM cl2, generate_series(1, 64) AS g(i)
+                   GROUP BY cell, g.i),
+            c2 AS (SELECT cell AS cent_id, list(mv ORDER BY i) AS cv
+                   FROM m2 GROUP BY cell),
             ea AS (SELECT e.vec_id, e.embedding, c.cent_id,
-                          list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS csim
-                   FROM embeddings e, c),
+                          list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS csim
+                   FROM embeddings e, c2 c),
             cells AS (SELECT vec_id, embedding, cent_id AS cell FROM (
                         SELECT *, row_number() OVER (PARTITION BY vec_id
                                     ORDER BY csim DESC, cent_id) AS rn FROM ea)
@@ -2062,8 +2099,8 @@ def oracle_sql() -> dict[str, str]:
             p0 AS (SELECT vec_id AS probe_id, embedding AS pv
                    FROM embeddings WHERE vec_id < 10),
             pa AS (SELECT p0.probe_id, p0.pv, c.cent_id,
-                          list_cosine_similarity(p0.pv::DOUBLE[], c.cv::DOUBLE[]) AS csim
-                   FROM p0, c),
+                          list_cosine_similarity(p0.pv::DOUBLE[], c.cv) AS csim
+                   FROM p0, c2 c),
             pcells AS (SELECT probe_id, pv, cent_id AS cell FROM (
                          SELECT *, row_number() OVER (PARTITION BY probe_id
                                      ORDER BY csim DESC, cent_id) AS rn FROM pa)

@@ -240,6 +240,87 @@ def _nearest_centroid(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd-refined (trained) IVF centroids: DataFrame
+    (cent_id, cent_vec: array<double>).
+
+    Seeds are the ``n_centroids`` smallest-id embeddings (no RNG state to
+    ship); each iteration assigns every vector to its nearest centroid by
+    cosine (ties by centroid id) and recomputes each cell's per-dimension
+    mean. Id-based seeds alone under-recall on clustered real embeddings
+    at any fixed n_probe — a seed that lands inside a dense cluster splits
+    it while empty regions keep their own cell; Lloyd steps move the
+    centroids to the actual cluster centers, so cell boundaries fall in
+    low-density regions and a true neighbor is far less likely to sit just
+    across one.
+
+    Cross-engine determinism (so a SQL oracle can replay the TRAINING, not
+    just the assignment): the mean is computed as an order-free exact sum
+    — each component is snapped to the 1e-9 grid (round(v, 9) then
+    DECIMAL(20,9)) and summed as decimal, which is exact and associative
+    under any partial-aggregation order — then one IEEE divide by the cell
+    count, re-rounded to 9 decimals so both engines hold bit-identical
+    centroid doubles. Residual divergence risk is the same ~1-ulp argmax
+    class the whole ANN family already carries.
+
+    Empty cells simply disappear (both engines mirror the same rule).
+
+    Scale shape: each iteration is one broadcast of the tiny centroid
+    table + one narrow assignment pass + one (cell, dim)-keyed aggregate
+    whose combine is map-side — O(iters) corpus scans, no pair blowup.
+    At 100 TB pass ``sample_n`` to fit on a deterministic content-hash
+    sample (the ``md5(id)`` smallest-hash rows — same rows on any engine,
+    any partitioning) and assign the full corpus once with the result.
+    """
+    if sample_n is not None:
+        hv = F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 12), 16, 10).cast(
+            "long"
+        )
+        train = (
+            embeddings.withColumn("_hv", hv)
+            .orderBy("_hv", id_col)
+            .limit(sample_n)
+            .drop("_hv")
+        )
+    else:
+        train = embeddings
+    cents = (
+        train.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    for _ in range(n_iters):
+        cells = _nearest_centroid(train, cents, id_col, vec_col)
+        dims = cells.select("cell", F.posexplode(F.col(vec_col)).alias("i", "v"))
+        means = dims.groupBy("cell", "i").agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("v").cast("double"), 9).cast("decimal(20,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mv")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mv"))),
+                    lambda x: x["mv"],
+                ).alias("cent_vec")
+            )
+            .select(F.col("cell").alias("cent_id"), "cent_vec")
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -248,12 +329,15 @@ def ivf_topk(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 0,
 ) -> DataFrame:
     """IVF-style coarse-quantization ANN (the inverted-file counterpart to
     lsh_topk): vectors are assigned to the nearest of ``n_centroids``
-    DETERMINISTIC centroids — the embeddings with the smallest ids, so a
-    SQL oracle can mirror the quantizer exactly with no k-means RNG state
-    to ship — and each probe exact-re-ranks its ``n_probe`` nearest cells.
+    DETERMINISTIC centroids — the embeddings with the smallest ids when
+    ``n_iters=0``, or those seeds Lloyd-refined ``n_iters`` times via
+    :func:`kmeans_centroids` (trained quantizer, still RNG-free and
+    SQL-replayable) — and each probe exact-re-ranks its ``n_probe``
+    nearest cells.
 
     n_probe > 1 is the standard IVF recall lever: a true neighbor that
     landed just across a cell boundary is recovered by also searching the
@@ -265,20 +349,27 @@ def ivf_topk(
     Scale shape: the centroid table is a broadcast (assignment is one
     narrow pass over the corpus — no shuffle), the probe-to-candidate join
     is an equi-join on the cell id, and the re-rank touches a cell fraction
-    of the corpus per probe instead of all of it. Swapping the id-based
-    centroids for trained k-means centroids changes recall, not the plan.
+    of the corpus per probe instead of all of it. Training (n_iters > 0)
+    changes recall, never this plan: the assignment pass is identical
+    whatever produced the centroid table.
 
     Returns (probe_id, vec_id, sim, rank) with rank 1..k by
     (sim desc, vec_id asc), self-matches excluded.
     """
-    # the n_centroids SMALLEST ids (not `id < n_centroids`, which silently
-    # yields fewer or zero centroids for non-dense / non-zero-based id
-    # spaces); tiny by construction, so the sort-limit is negligible
-    cents = (
-        embeddings.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
+    if n_iters > 0:
+        cents = kmeans_centroids(
+            embeddings, n_centroids, n_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        # the n_centroids SMALLEST ids (not `id < n_centroids`, which
+        # silently yields fewer or zero centroids for non-dense /
+        # non-zero-based id spaces); tiny by construction, so the
+        # sort-limit is negligible
+        cents = (
+            embeddings.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
     cells = _nearest_centroid(embeddings, cents, id_col, vec_col)
     pcells = _nearest_centroid(
         probes.select(

@@ -433,6 +433,62 @@ def test_ivf_topk_nprobe_recall(spark, boundary_embeddings):
     ivf2.unpersist()
 
 
+def test_ivf_topk_trained_centroids_recall(spark, boundary_embeddings):
+    """VERDICT r3 #4: trained (Lloyd-refined) centroids. On the planted
+    boundary fixture the id-based seeds are the raw anchors, so every
+    mixture group straddles a cell boundary by construction; two
+    deterministic k-means iterations move the centroids onto the mixture
+    groups themselves, so a probe's true neighbors co-locate in its own
+    cell. Done-criteria: recall@10 >= 0.95 at n_probe=2 with n_iters=2,
+    no worse than the untrained quantizer, and the trained centroid table
+    is deterministic (two fits are identical)."""
+    emb = boundary_embeddings
+    probes = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 28)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact10 = {}
+    for r in ann.brute_force_topk(emb, probes, k=10).collect():
+        exact10.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    def recall_at10(df):
+        got = {}
+        for r in df.where("rank <= 10").collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        hits = sum(len(exact10[p] & got.get(p, set())) for p in exact10)
+        return hits / sum(len(v) for v in exact10.values())
+
+    untrained = ann.ivf_topk(emb, probes, k=10, n_centroids=8, n_probe=2)
+    trained = ann.ivf_topk(emb, probes, k=10, n_centroids=8, n_probe=2, n_iters=2)
+    r_untrained, r_trained = recall_at10(untrained), recall_at10(trained)
+    assert r_trained >= 0.95, (r_untrained, r_trained)
+    assert r_trained >= r_untrained, (r_untrained, r_trained)
+
+    # determinism: two independent fits produce the identical centroid table
+    fit = lambda: sorted(  # noqa: E731
+        (r["cent_id"], tuple(r["cent_vec"]))
+        for r in ann.kmeans_centroids(emb, n_centroids=8, n_iters=2).collect()
+    )
+    assert fit() == fit()
+
+
+def test_kmeans_sample_path(spark, boundary_embeddings):
+    """The 100-TB fit-on-a-sample path: sample_n bounds the training set by
+    the smallest md5(id) hashes — deterministic, partitioning-independent —
+    and the fitted table still has one centroid per surviving cell with
+    finite components."""
+    cents = ann.kmeans_centroids(
+        boundary_embeddings, n_centroids=8, n_iters=1, sample_n=40
+    ).collect()
+    assert 1 <= len(cents) <= 8
+    for r in cents:
+        assert len(r["cent_vec"]) == 64
+        assert all(np.isfinite(v) for v in r["cent_vec"])
+    again = ann.kmeans_centroids(
+        boundary_embeddings, n_centroids=8, n_iters=1, sample_n=40
+    ).collect()
+    assert sorted(map(str, cents)) == sorted(map(str, again))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
