@@ -180,3 +180,131 @@ def estimate_mu(
         {c: FieldParams(m=m[j], u=u[j]) for j, c in enumerate(agree_cols)},
         p,
     )
+
+
+# ---------------------------------------------------------------------------
+# Production composition: FS scoring over the pipeline's WIDE pair stream
+# ---------------------------------------------------------------------------
+
+DEFAULT_CHUNK_DIST = 4
+DEFAULT_CANON_PREFIX = 16
+
+
+def wide_pair_agreements(
+    pairs_wide: DataFrame,
+    chunk_dist: int = DEFAULT_CHUNK_DIST,
+    canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+) -> tuple[DataFrame, list[str]]:
+    """Boolean comparison fields over the pipeline's wide candidate pairs
+    (blocking.candidate_pairs_wide schema: conv_id_a/b, canon_a/b,
+    c{i}_a/b signature chunk longs).
+
+    Fields (all whole-stage-codegen expressions, no UDF, no shuffle):
+
+    * ``agree_c{i}`` — bit_count(c{i}_a ^ c{i}_b) <= chunk_dist: the
+      reference's within-distance predicate (python_hexhamming.cc:62-64)
+      applied PER 32-bit signature chunk. Chunk-level agreement carries
+      more information than the global distance alone: a true near-dup's
+      few flipped bits leave most chunks inside the small radius, while a
+      random pair disperses ~half-flipped bits across every chunk — so the
+      agreement PATTERN separates concentrated from dispersed difference
+      at the same global hamming distance.
+    * ``agree_canon`` — equality of the first ``canon_prefix_len`` chars of
+      the canonical keys (the Jaro-Winkler term's field analogue).
+
+    Returns (pairs with agreement columns appended, agreement col names).
+    """
+    from .scoring import N_CHUNKS, hamming_jvm
+
+    cols = []
+    names = []
+    for i in range(N_CHUNKS):
+        nm = f"agree_c{i}"
+        cols.append(
+            (
+                F.bit_count(
+                    F.col(f"c{i}_a").bitwiseXOR(F.col(f"c{i}_b"))
+                )
+                <= F.lit(chunk_dist)
+            ).alias(nm)
+        )
+        names.append(nm)
+    cols.append(
+        (
+            F.substring("canon_a", 1, canon_prefix_len)
+            == F.substring("canon_b", 1, canon_prefix_len)
+        ).alias("agree_canon")
+    )
+    names.append("agree_canon")
+    return (
+        pairs_wide.withColumn("hamming_dist", hamming_jvm()).select(
+            "conv_id_a", "conv_id_b", "hamming_dist", *cols
+        ),
+        names,
+    )
+
+
+def default_threshold(p: float) -> float:
+    """The posterior-0.5 decision weight: accept when the summed
+    log2-likelihood ratio beats the prior odds against a match,
+    log2((1-p)/p) — the parameter-free Bayes decision point, so a fitted
+    model needs no hand-tuned cutoff."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"prevalence p must be in (0, 1), got {p}")
+    return math.log2((1.0 - p) / p)
+
+
+def fit_wide_pairs(
+    pairs_wide: DataFrame,
+    chunk_dist: int = DEFAULT_CHUNK_DIST,
+    canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+) -> tuple[dict[str, FieldParams], float]:
+    """EM fit of the wide-pair comparison model from UNLABELED candidate
+    pairs: one map-side-combinable pattern-count aggregation over the
+    agreement booleans (<= 2^9 rows whatever the pair count), then
+    driver-side EM (estimate_mu). Returns ({field: (m, u)}, prevalence)."""
+    with_agree, names = wide_pair_agreements(
+        pairs_wide, chunk_dist=chunk_dist, canon_prefix_len=canon_prefix_len
+    )
+    return estimate_mu(with_agree, names)
+
+
+def score_wide_fs(
+    pairs_wide: DataFrame,
+    params: dict[str, FieldParams],
+    threshold: float,
+    chunk_dist: int = DEFAULT_CHUNK_DIST,
+    canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+) -> DataFrame:
+    """B6+B7 in Fellegi-Sunter mode: agreement fields → summed
+    log2-likelihood weight → ``fs_weight >= threshold`` gate. The whole
+    scorer is ONE codegen projection + filter on the pair stream — unlike
+    the blend path there is no Python boundary at all (the Jaro-Winkler
+    Arrow kernel is replaced by the canon-prefix field), so FS mode is the
+    CHEAPER scorer as well as the calibrated one.
+
+    Output edges(conv_id_a, conv_id_b, hamming_dist, fs_weight)."""
+    with_agree, names = wide_pair_agreements(
+        pairs_wide, chunk_dist=chunk_dist, canon_prefix_len=canon_prefix_len
+    )
+    missing = set(names) - set(params)
+    if missing:
+        raise ValueError(f"params missing fields: {sorted(missing)}")
+    weighted = match_weight(with_agree, {n: params[n] for n in names})
+    return weighted.where(F.col("fs_weight") >= F.lit(threshold)).select(
+        "conv_id_a", "conv_id_b", "hamming_dist", "fs_weight"
+    )
+
+
+def params_to_json(params: dict[str, FieldParams], p: float) -> dict:
+    """Manifest-serializable form of a fitted model — the runner stores it
+    so INCREMENTAL batches score with the model fitted on the full corpus
+    instead of refitting on a tiny batch."""
+    return {"p": p, "fields": {k: [fp.m, fp.u] for k, fp in params.items()}}
+
+
+def params_from_json(d: dict) -> tuple[dict[str, FieldParams], float]:
+    return (
+        {k: FieldParams(m=v[0], u=v[1]) for k, v in d["fields"].items()},
+        d["p"],
+    )

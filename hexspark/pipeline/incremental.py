@@ -355,6 +355,8 @@ def incremental_update(
     alpha: float = scoring.DEFAULT_ALPHA,
     min_score: float = 0.0,
     cc_max_iter: int = 20,
+    merge: bool = True,
+    score_fn=None,
 ) -> dict:
     """One incremental batch: fingerprint ONLY the new conversations, block
     new-vs-all, score (A2/A3 semantics via score_wide, unchanged), and merge
@@ -362,6 +364,19 @@ def incremental_update(
 
     prior_signatures / prior_clusters are the previous run's materialized
     stage outputs (runner stage tables "signatures" / "clusters").
+
+    ``merge=False`` skips the cluster merge entirely (clusters/cc_rounds
+    come back None) — merge_clusters runs connected components EAGERLY, so
+    a caller that clusters on a different edge set (the runner's robust
+    mode merges over corroborated-triangle sides only) must opt out here
+    or pay a full discarded CC over the raw edges.
+
+    ``score_fn`` replaces the default blend scorer: a callable mapping the
+    wide candidate-pair DataFrame to scored edges (the runner's FS mode
+    passes fs.score_wide_fs bound to the manifest's fitted model, so
+    incremental batches score under the SAME model as the prior run —
+    whatever edge schema score_fn emits must match the existing edges
+    stage table, which the config drift guard already guarantees).
 
     Precondition: the new batch's conv_ids are DISJOINT from the prior
     corpus (a reappearing conv_id would keep its stale signature/cluster).
@@ -381,12 +396,19 @@ def incremental_update(
     pairs, block_stats = incremental_candidate_pairs_wide(
         all_sigs, n_bands=n_bands, max_block=max_block
     )
-    edges = scoring.score_wide(
-        pairs, max_dist=max_dist, alpha=alpha, min_score=min_score
-    ).persist()  # consumed twice below (endpoints + CC input)
-    clusters, rounds = merge_clusters(
-        prior_clusters, edges, new_sigs.select("conv_id"), cc_max_iter=cc_max_iter
-    )
+    if score_fn is None:
+        edges = scoring.score_wide(
+            pairs, max_dist=max_dist, alpha=alpha, min_score=min_score
+        )
+    else:
+        edges = score_fn(pairs)
+    edges = edges.persist()  # consumed twice below (endpoints + CC input)
+    if merge:
+        clusters, rounds = merge_clusters(
+            prior_clusters, edges, new_sigs.select("conv_id"), cc_max_iter=cc_max_iter
+        )
+    else:
+        clusters, rounds = None, None
     return {
         "signatures": prior_signatures.unionByName(new_sigs),
         "new_signatures": new_sigs,

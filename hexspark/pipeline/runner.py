@@ -38,6 +38,29 @@ class PipelineConfig:
     # self-join, so scoring is a pure narrow map (no re-attach joins) — the
     # scale-path plan; False falls back to thin pairs + two attach joins
     wide_pairs: bool = True
+    # pairwise scorer: "blend" = the fixed hamming+Jaro-Winkler alpha blend
+    # gated on max_dist (the reference's A2/A3 semantics); "fs" = the
+    # Fellegi-Sunter classical-linkage path (pipeline/fs.py) — per-chunk
+    # within-dist + canon-prefix agreement fields, (m, u, p) fitted by EM
+    # on the run's own UNLABELED candidate pairs, edges gated on the
+    # posterior-0.5 weight. The fitted model is recorded in the manifest
+    # and reused by incremental batches (a tiny batch must not refit).
+    scoring_mode: str = "blend"
+    fs_chunk_dist: int = 4
+    fs_canon_prefix_len: int = 16
+    # explicit decision threshold; None derives log2((1-p)/p) from the
+    # fitted prevalence (the parameter-free Bayes decision point)
+    fs_threshold: float | None = None
+    # high-precision mode: cluster only on triangle-corroborated edges and
+    # materialize the uncorroborated (bridge) edges as a review-queue stage
+    # table. Plain transitive closure is maximally fragile — ONE false
+    # match edge glues two entities, and at 10^12 rows some edge is always
+    # wrong; robust mode demands a second independent path per merge. The
+    # trade: pairs whose only link is a lone edge stay apart (review them
+    # via the bridge_edges table). Part of the recorded config, so the
+    # drift guard refuses to mix robust and default stage outputs in one
+    # workdir.
+    robust: bool = False
 
 
 @dataclass
@@ -156,6 +179,35 @@ class Runner:
             p = pairs
             if cfg.pair_partitions:
                 p = p.repartition(cfg.pair_partitions)
+            if cfg.scoring_mode == "fs":
+                # fit on THIS run's pairs (one pattern-count aggregation
+                # over the materialized stage table + driver EM), record
+                # the model in the manifest so incremental folds reuse it
+                if not cfg.wide_pairs:
+                    raise ValueError("scoring_mode='fs' requires wide_pairs=True")
+                from . import fs
+
+                params, prev = fs.fit_wide_pairs(
+                    p,
+                    chunk_dist=cfg.fs_chunk_dist,
+                    canon_prefix_len=cfg.fs_canon_prefix_len,
+                )
+                thr = (
+                    cfg.fs_threshold
+                    if cfg.fs_threshold is not None
+                    else fs.default_threshold(prev)
+                )
+                manifest["fs_model"] = {
+                    **fs.params_to_json(params, prev),
+                    "threshold": thr,
+                }
+                return fs.score_wide_fs(
+                    p,
+                    params,
+                    thr,
+                    chunk_dist=cfg.fs_chunk_dist,
+                    canon_prefix_len=cfg.fs_canon_prefix_len,
+                )
             if cfg.wide_pairs:
                 return scoring.score_wide(
                     p, max_dist=cfg.max_dist, alpha=cfg.alpha, min_score=cfg.min_score
@@ -165,6 +217,39 @@ class Runner:
             )
 
         edges = self._run_stage(manifest, result, "edges", build_edges)
+
+        if cfg.robust:
+            from hexspark.ops import graph
+
+            # one materialized triangle enumeration feeds BOTH the bridge
+            # review queue and the corroborated clustering (triangles is a
+            # stage table, so resume skips the enumeration too)
+            tri = self._run_stage(
+                manifest,
+                result,
+                "triangles",
+                lambda: graph.triangles(edges, "conv_id_a", "conv_id_b"),
+            )
+            self._run_stage(
+                manifest,
+                result,
+                "bridge_edges",
+                lambda: graph.bridge_edges(edges, "conv_id_a", "conv_id_b", tri=tri),
+            )
+
+            def build_clusters_robust() -> DataFrame:
+                kept = (
+                    tri.select(F.col("x").alias("conv_id_a"), F.col("y").alias("conv_id_b"))
+                    .unionAll(tri.select(F.col("y").alias("conv_id_a"), F.col("z").alias("conv_id_b")))
+                    .unionAll(tri.select(F.col("x").alias("conv_id_a"), F.col("z").alias("conv_id_b")))
+                    .distinct()
+                )
+                cc, rounds = clustering.connected_components(kept, max_iter=cfg.cc_max_iter)
+                result.cc_rounds = rounds
+                return clustering.with_singletons(cc, sigs.select("conv_id"))
+
+            self._run_stage(manifest, result, "clusters", build_clusters_robust)
+            return result
 
         def build_clusters() -> DataFrame:
             cc, rounds = clustering.connected_components(edges, max_iter=cfg.cc_max_iter)
@@ -188,7 +273,10 @@ class Runner:
         from . import incremental
 
         manifest = self._manifest()
-        for stage in ("signatures", "clusters"):
+        required = ("signatures", "clusters") + (
+            ("triangles", "bridge_edges") if self.cfg.robust else ()
+        )
+        for stage in required:
             if not (manifest["completed"].get(stage) and self.io.exists(stage)):
                 raise ValueError(
                     "incremental update requires a completed prior run; "
@@ -216,6 +304,29 @@ class Runner:
         cfg = self.cfg
         result = PipelineResult(run_id=manifest["run_id"])
         timer = StageTimer()
+        score_fn = None
+        if cfg.scoring_mode == "fs":
+            # score the batch under the model FITTED ON THE PRIOR RUN (a
+            # small batch must not refit — its pair sample is too thin and
+            # a drifted model would mix decision boundaries in one edges
+            # table); the manifest holds it from the batch run
+            from . import fs
+
+            model = manifest.get("fs_model")
+            if model is None:
+                raise ValueError(
+                    "scoring_mode='fs' requires a fitted model in the "
+                    "manifest (produced by the prior batch run's edges "
+                    "stage); this workdir has none"
+                )
+            params, _prev = fs.params_from_json(model)
+            score_fn = lambda p: fs.score_wide_fs(  # noqa: E731
+                p,
+                params,
+                model["threshold"],
+                chunk_dist=cfg.fs_chunk_dist,
+                canon_prefix_len=cfg.fs_canon_prefix_len,
+            )
         res = incremental.incremental_update(
             new_transcripts,
             self.io.read("signatures"),
@@ -226,6 +337,10 @@ class Runner:
             alpha=cfg.alpha,
             min_score=cfg.min_score,
             cc_max_iter=cfg.cc_max_iter,
+            # robust mode clusters over corroborated-triangle sides, not
+            # the raw edges — skip the (eager) raw-edge merge entirely
+            merge=not cfg.robust,
+            score_fn=score_fn,
         )
         result.cc_rounds = res["cc_rounds"]
         # Write order makes a crashed fold RETRYABLE: edges append, then
@@ -238,16 +353,75 @@ class Runner:
         # against still-intact inputs: edges/clusters read the prior
         # signatures table, which is replaced only after both are durable,
         # and TableIO.write stages to a tmp dir before the swap.
-        self.io.append(res["edges"], "edges")
-        self.io.write(res["clusters"], "clusters")
-        self.io.write(res["signatures"], "signatures")
+        if cfg.robust:
+            # Incremental corroboration rides the same monotonicity the
+            # batch graph has: edges are append-only, so a triangle once
+            # formed is NEVER invalidated — new edges can only create
+            # triangles (possibly promoting an old bridge edge to
+            # corroborated), never destroy one. The fold therefore appends
+            # exactly the triangles containing >= 1 new edge
+            # (ops/graph.incremental_triangles — two node-keyed semi-joins
+            # over the checkpointed affected subgraph, batch-proportional),
+            # merges clusters over THOSE triangles' edges only
+            # (merge_clusters' condensed affected subgraph), and updates
+            # the bridge queue incrementally: new bridges = (old bridges ∪
+            # the batch's canon edges) minus sides of new triangles —
+            # batch-plus-queue-proportional, never a rescan of the full
+            # edges table. (The unions below are disjoint by the
+            # batch-disjointness guard: every batch edge has >= 1 new
+            # endpoint, so it can never equal an old-bridge pair.)
+            from hexspark.ops import graph
+
+            # fill the edges cache ONCE before the graph plans fan out over
+            # it (merge=False above means nothing else materializes it)
+            res["edges"].count()
+            old_edges = self.io.read("edges")
+            new_tri = graph.incremental_triangles(
+                old_edges, res["edges"], "conv_id_a", "conv_id_b"
+            ).persist()
+            prior_clusters = self.io.read("clusters")
+            tri_sides = (
+                new_tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+                .unionAll(new_tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+                .unionAll(new_tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+                .distinct()
+            )
+            merged, rounds = incremental.merge_clusters(
+                prior_clusters,
+                tri_sides.select(
+                    F.col("u").alias("conv_id_a"), F.col("v").alias("conv_id_b")
+                ),
+                res["new_signatures"].select("conv_id"),
+                cc_max_iter=cfg.cc_max_iter,
+            )
+            result.cc_rounds = rounds
+            bridges = (
+                self.io.read("bridge_edges")
+                .unionByName(
+                    graph.canonical_edges(res["edges"], "conv_id_a", "conv_id_b")
+                )
+                .join(tri_sides, ["u", "v"], "left_anti")
+            )
+            self.io.append(res["edges"], "edges")
+            self.io.append(new_tri, "triangles")
+            self.io.write(bridges, "bridge_edges")
+            self.io.write(merged, "clusters")
+            self.io.write(res["signatures"], "signatures")
+            new_tri.unpersist()
+        else:
+            self.io.append(res["edges"], "edges")
+            self.io.write(res["clusters"], "clusters")
+            self.io.write(res["signatures"], "signatures")
         # release the intermediates incremental_update persisted — a
         # CacheManager entry is never freed without an explicit unpersist,
         # and a long-lived app folds many batches through this path
         for df in (res["edges"], res["new_signatures"]):
             df.unpersist()
         wall = timer.wall_ms()
-        for stage in ("signatures", "clusters", "edges"):
+        stages = ("signatures", "clusters", "edges") + (
+            ("triangles", "bridge_edges") if cfg.robust else ()
+        )
+        for stage in stages:
             out = self.io.read(stage)
             rows = out.count()
             self.io.append(

@@ -150,3 +150,101 @@ def test_em_then_classify_end_to_end(spark):
     n_non_all = sum(v for (t, _), v in tally.items() if not t)
     assert n_match_right / n_match_all > 0.8
     assert n_non_wrong / n_non_all < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Production composition: FS over the wide pair stream
+# ---------------------------------------------------------------------------
+
+
+def test_default_threshold_is_prior_log_odds(spark):
+    from hexspark.pipeline.fs import default_threshold
+
+    assert default_threshold(0.5) == 0.0
+    assert default_threshold(0.2) == pytest.approx(2.0)
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            default_threshold(bad)
+
+
+def test_params_json_roundtrip(spark):
+    from hexspark.pipeline.fs import params_from_json, params_to_json
+
+    params = dict(_PARAMS)
+    d = params_to_json(params, 0.07)
+    back, p = params_from_json(d)
+    assert p == 0.07 and back == params
+
+
+def _wide_pairs(spark):
+    """Two wide pair rows: a near-dup (2 bits off inside one chunk) and a
+    far pair (every chunk ~half flipped), canon prefix agreeing on the
+    near-dup only."""
+    near_a = [0x0F0F0F0F] * 8
+    near_b = [0x0F0F0F0C] + [0x0F0F0F0F] * 7  # 2 bits in chunk 0
+    far_b = [0x0F0F0F00] * 8  # XOR = 0x0F per chunk: 4 bits off -> dist 32
+    rows = [
+        tuple(["n1", "n2", "same prefix here....", "same prefix here...."] + near_a + near_b),
+        tuple(["f1", "f2", "one prefix here.....", "two prefix here....."] + near_a + far_b),
+    ]
+    cols = "conv_id_a string, conv_id_b string, canon_a string, canon_b string, " + ", ".join(
+        f"c{i}_a long" for i in range(8)
+    ) + ", " + ", ".join(f"c{i}_b long" for i in range(8))
+    # interleave: c{i}_a then c{i}_b column order must match row layout
+    rows = [
+        (r[0], r[1], r[2], r[3], *r[4:12], *r[12:20]) for r in rows
+    ]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_wide_pair_agreements_fields(spark):
+    from hexspark.pipeline.fs import wide_pair_agreements
+
+    df, names = wide_pair_agreements(_wide_pairs(spark), chunk_dist=4)
+    assert names == [f"agree_c{i}" for i in range(8)] + ["agree_canon"]
+    rows = {r["conv_id_a"]: r for r in df.collect()}
+    near = rows["n1"]
+    assert near["hamming_dist"] == 2
+    assert all(near[f"agree_c{i}"] for i in range(8))  # 2 bits <= 4
+    assert near["agree_canon"]
+    far = rows["f1"]
+    assert far["hamming_dist"] == 32
+    assert all(far[f"agree_c{i}"] for i in range(8))  # exactly 4 bits each
+    assert not far["agree_canon"]
+    # tighter radius flips the far pair's chunk fields but not the near's
+    df3, _ = wide_pair_agreements(_wide_pairs(spark), chunk_dist=3)
+    rows3 = {r["conv_id_a"]: r for r in df3.collect()}
+    assert all(rows3["n1"][f"agree_c{i}"] for i in range(8))
+    assert not any(rows3["f1"][f"agree_c{i}"] for i in range(8))
+
+
+def test_score_wide_fs_gates_and_schema(spark):
+    from hexspark.pipeline.fs import score_wide_fs
+
+    params = {f"agree_c{i}": FieldParams(m=0.9, u=0.1) for i in range(8)}
+    params["agree_canon"] = FieldParams(m=0.9, u=0.1)
+    out = score_wide_fs(_wide_pairs(spark), params, threshold=0.0, chunk_dist=3)
+    assert out.columns == ["conv_id_a", "conv_id_b", "hamming_dist", "fs_weight"]
+    got = {r["conv_id_a"]: r["fs_weight"] for r in out.collect()}
+    # near pair: all 9 fields agree -> weight 9*log2(9) > 0 -> kept
+    assert got == {"n1": pytest.approx(9 * math.log2(9))}
+    with pytest.raises(ValueError, match="missing fields"):
+        score_wide_fs(_wide_pairs(spark), {"agree_c0": FieldParams(0.9, 0.1)}, 0.0)
+
+
+def test_score_wide_fs_plan_has_no_python_stage(spark):
+    """The FS scorer must stay entirely inside codegen: no BatchEvalPython /
+    ArrowEvalPython / mapInArrow stage anywhere in the plan (the blend
+    path's Jaro-Winkler kernel is replaced by the canon-prefix field)."""
+    from hexspark.pipeline.fs import score_wide_fs
+
+    params = {f"agree_c{i}": FieldParams(m=0.9, u=0.1) for i in range(8)}
+    params["agree_canon"] = FieldParams(m=0.9, u=0.1)
+    plan = (
+        score_wide_fs(_wide_pairs(spark), params, threshold=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow", "MapInPandas"):
+        assert marker not in plan, marker

@@ -376,3 +376,30 @@ def test_graph_ops_accept_precomputed_triangles(spark):
     pre_c, _ = robust_components(df, tri=tri)
     assert {tuple(r) for r in auto_c.collect()} == {tuple(r) for r in pre_c.collect()}
     tri.unpersist()
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_draws,n_new", [(11, 30, 110, 25), (37, 18, 60, 12)])
+def test_incremental_triangles_equals_batch_delta(spark, seed, n_nodes, n_draws, n_new):
+    """Append-only invariant: triangles(old ∪ new) == triangles(old) ∪
+    incremental_triangles(old, new), and every incremental triangle has
+    >= 1 new side (all-old triangles are exactly the prior table)."""
+    from hexspark.ops.graph import incremental_triangles, triangles
+
+    rng = random.Random(seed)
+    nodes = list(range(n_nodes))
+    all_edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(n_draws)})
+    rng.shuffle(all_edges)
+    new_e, old_e = all_edges[:n_new], all_edges[n_new:]
+    old = spark.createDataFrame(old_e, "id_a long, id_b long")
+    new = spark.createDataFrame(new_e, "id_a long, id_b long")
+    both = spark.createDataFrame(old_e + new_e, "id_a long, id_b long")
+
+    tri_old = {tuple(r) for r in triangles(old).collect()}
+    tri_all = {tuple(r) for r in triangles(both).collect()}
+    tri_inc = {tuple(r) for r in incremental_triangles(old, new).collect()}
+
+    assert tri_old | tri_inc == tri_all
+    assert tri_old & tri_inc == set()  # no all-old triangle re-emitted
+    ne = set(new_e)
+    for x, y, z in tri_inc:
+        assert {(x, y), (y, z), (x, z)} & ne, (x, y, z)
