@@ -186,6 +186,20 @@ def main() -> None:
         .where(F.col("score") >= 0.5)
         .count(),
     )
+    # Fellegi-Sunter scorer over the same pair stream (extras-only so the
+    # headline total stays comparable round-over-round): the FS path is one
+    # codegen projection + filter — no Arrow/Python boundary at all — so it
+    # should beat the hybrid blend wall on identical input. Fixed params
+    # (not EM-fitted) because this times the SCORER, not the fit.
+    from hexspark.pipeline import fs as fsmod
+
+    fs_params = {f"agree_c{i}": fsmod.FieldParams(0.9, 0.05) for i in range(8)}
+    fs_params["agree_canon"] = fsmod.FieldParams(0.9, 0.2)
+    t0 = time.monotonic()
+    fsmod.score_wide_fs(bulk, fs_params, threshold=2.0).count()
+    fs_wall = time.monotonic() - t0
+    extras["scoring_fs_sec"] = round(fs_wall, 3)
+    extras["fs_pairs_scored_per_sec"] = round(total_bulk / fs_wall, 1)
     bulk.unpersist()
     extras["bulk_pairs_scored"] = int(total_bulk)
     extras["hamming_pairs_per_sec"] = round(total_bulk / timings["scoring_hamming"], 1)
@@ -253,6 +267,7 @@ def main() -> None:
         "er_fused_convs_per_sec": extras.get("er_fused_convs_per_sec"),
         "er_convs_per_sec": extras.get("er_convs_per_sec"),
         "pairs_scored_per_sec": extras.get("pairs_scored_per_sec"),
+        "fs_pairs_scored_per_sec": extras.get("fs_pairs_scored_per_sec"),
         "hamming_pairs_per_sec": extras.get("hamming_pairs_per_sec"),
         "driver_queries_total_sec": extras.get("driver_queries_total_sec"),
         "n_driver_queries": len(extras.get("driver_queries_sec", {})),

@@ -5,6 +5,9 @@
         --input  <path or table of transcripts(conv_id,turn_idx,role,text,tool,ts)> \\
         --workdir <stage-table root (Iceberg namespace or path)> \\
         [--max-dist 20] [--n-bands 16] [--max-block 2000] [--min-score 0.0]
+        [--scoring-mode blend|fs]  # fs = EM-calibrated Fellegi-Sunter gate
+        [--robust]        # cluster on triangle-corroborated edges only,
+                          # queue bridge edges for review (bridge_edges table)
         [--incremental]   # fold --input as a NEW batch into a completed run
 
 Master/executors come from spark-submit. Every stage materializes to the
@@ -32,6 +35,24 @@ def main() -> None:
     ap.add_argument("--max-block", type=int, default=2000)
     ap.add_argument("--min-score", type=float, default=0.0)
     ap.add_argument("--alpha", type=float, default=0.75)
+    ap.add_argument(
+        "--scoring-mode", choices=("blend", "fs"), default="blend",
+        help="'blend' = fixed hamming+Jaro-Winkler alpha blend gated on "
+             "max-dist; 'fs' = Fellegi-Sunter weights with (m, u, p) "
+             "EM-fitted on this run's own unlabeled candidate pairs "
+             "(model recorded in the manifest; incremental folds reuse it)",
+    )
+    ap.add_argument(
+        "--fs-threshold", type=float, default=None,
+        help="FS decision weight; default derives the posterior-0.5 "
+             "threshold log2((1-p)/p) from the fitted prevalence",
+    )
+    ap.add_argument(
+        "--robust", action="store_true",
+        help="high-precision mode: cluster only on triangle-corroborated "
+             "edges; uncorroborated (bridge) edges land in the "
+             "bridge_edges review-queue stage table",
+    )
     ap.add_argument(
         "--incremental", action="store_true",
         help="treat --input as a NEW batch and fold it into the workdir's "
@@ -72,6 +93,9 @@ def main() -> None:
         max_dist=args.max_dist,
         alpha=args.alpha,
         min_score=args.min_score,
+        scoring_mode=args.scoring_mode,
+        fs_threshold=args.fs_threshold,
+        robust=args.robust,
     )
     runner = Runner(spark, args.workdir, cfg)
     result = (
