@@ -348,8 +348,10 @@ class Runner:
         # signatures, so until the final write lands a retry passes the
         # guard and re-runs cleanly (merge_clusters is idempotent over a
         # prior_clusters that already contains the batch; the only residue
-        # of a mid-sequence crash is a duplicated edges append, which
-        # connected components is insensitive to). Every write computes
+        # of a mid-sequence crash is a duplicated edges append — and in
+        # robust mode a duplicated triangles append — both harmless: every
+        # consumer of either table is set-semantic (CC, distinct'd triangle
+        # sides, anti-joins)). Every write computes
         # against still-intact inputs: edges/clusters read the prior
         # signatures table, which is replaced only after both are durable,
         # and TableIO.write stages to a tmp dir before the swap.

@@ -197,3 +197,23 @@ def test_fs_requires_wide_pairs(spark, tmp_path):
             str(tmp_path / "fs_thin"),
             PipelineConfig(**CFG, scoring_mode="fs", wide_pairs=False),
         ).run(tr)
+
+
+def test_fs_composes_with_robust_mode(spark, tmp_path):
+    """The two production modes are orthogonal config axes: FS-scored
+    edges feed the triangle corroboration, both stage sets land, and the
+    clusters cover the corpus."""
+    tr = fixtures.transcripts_df(spark, n_base=40, seed=9, mutation_rate=0.02)
+    wd = str(tmp_path / "fs_robust")
+    res = Runner(
+        spark, wd, PipelineConfig(**CFG, scoring_mode="fs", robust=True)
+    ).run(tr)
+    assert res.stages_run == [
+        "conversations", "signatures", "candidate_pairs", "edges",
+        "triangles", "bridge_edges", "clusters",
+    ]
+    assert res.tables["edges"].columns == [
+        "conv_id_a", "conv_id_b", "hamming_dist", "fs_weight",
+    ]
+    n_convs = tr.select("conv_id").distinct().count()
+    assert res.tables["clusters"].count() == n_convs
