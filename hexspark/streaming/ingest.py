@@ -66,7 +66,13 @@ def _routes_incremental(runner: Runner) -> bool:
     """Mirror Runner.run_incremental's own precondition (runner.py): both
     the signatures and clusters stages completed AND their tables present.
     Anything less bootstraps via Runner.run — routing a half-built workdir
-    to the incremental path would just raise there."""
+    to the incremental path would just raise there.
+
+    This proxy stays sound for robust mode without listing its extra
+    required stages (triangles, bridge_edges): Runner.run writes clusters
+    LAST, strictly after the graph stages, so clusters-complete implies
+    they exist; and a workdir bootstrapped under a different mode is
+    refused by the config drift guard before routing matters."""
     p = os.path.join(runner.workdir, "run_manifest.json")
     if not os.path.exists(p):
         return False

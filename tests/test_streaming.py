@@ -221,3 +221,42 @@ def test_continuous_mode_soak_with_midstream_restart(spark, tmp_path):
     }
     assert got == want
     assert got_df.count() == len(got)
+
+
+def test_stream_fold_robust_mode(spark, tmp_path):
+    """The streaming fold composes with robust mode: the bootstrap drain
+    writes the triangle/bridge stage tables, the incremental drain folds
+    through the monotone triangle path, and the routing proxy stays sound
+    (clusters-complete implies the graph stages exist — Runner.run writes
+    clusters last)."""
+    src = str(tmp_path / "incoming_r")
+    workdir = str(tmp_path / "workdir_r")
+    os.makedirs(src)
+    cfg = PipelineConfig(max_dist=MAX_DIST, robust=True)
+
+    tr = fixtures.transcripts_df(spark, n_base=60, seed=13, mutation_rate=0.01)
+    tr = tr.cache()
+    first_ids = (
+        tr.select("conv_id").distinct()
+        .where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) < 2)
+    )
+    tr_a = tr.join(first_ids, "conv_id", "left_semi")
+    tr_b = tr.join(first_ids, "conv_id", "left_anti")
+
+    tr_a.coalesce(1).write.mode("append").parquet(src)
+    q = fold_transcript_stream(spark, src, workdir, config=cfg)
+    q.awaitTermination()
+    manifest = json.load(open(os.path.join(workdir, "run_manifest.json")))
+    for stage in ("triangles", "bridge_edges", "clusters"):
+        assert manifest["completed"].get(stage), stage
+
+    tr_b.coalesce(1).write.mode("append").parquet(src)
+    q = fold_transcript_stream(spark, src, workdir, config=cfg)
+    q.awaitTermination()
+
+    clusters = spark.read.parquet(os.path.join(workdir, "clusters"))
+    n_convs = tr.select("conv_id").distinct().count()
+    assert clusters.count() == n_convs
+    # every conversation appears exactly once; bridge queue table exists
+    assert clusters.select("conv_id").distinct().count() == n_convs
+    assert os.path.exists(os.path.join(workdir, "bridge_edges"))
