@@ -20,6 +20,7 @@ oracle_sql()  : DuckDB-equivalent ANSI SQL for every SQL-expressible query.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -1268,26 +1269,55 @@ def q_fs_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     length within 5) weighted by fixed (m, u) and summed — one codegen
     CASE projection, nothing added to the pair stream's shuffle envelope.
     EM estimation of (m, u, p) is pytest-pinned (tests/test_fs.py — a
-    driver-side loop over the tiny pattern-count aggregate, not SQL)."""
+    driver-side loop over the tiny pattern-count aggregate, not SQL).
+    ``fs_weight_tf`` adds the Splink-style TERM-FREQUENCY adjustment on
+    the lang field (pipeline/fs.tf_adjusted_weight): agreement on value v
+    scores log2(m / tf(v)) instead of the field-average log2(m/u), so
+    agreeing on a rare language is stronger evidence than agreeing on the
+    corpus-dominant one. One broadcast probe of the distinct-value
+    frequency table; the oracle recomputes the same frequencies and
+    constants in SQL."""
     from hexspark import columns as C
-    from hexspark.pipeline.fs import FieldParams, match_weight
+    from hexspark.pipeline.fs import (
+        FieldParams,
+        match_weight,
+        term_frequencies,
+        tf_adjusted_weight,
+    )
 
-    f = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    f = docs.select(
         "doc_id", "lang", F.length("text").alias("L"), _md5(F.col("text")).alias("h")
     )
     a, b = f.alias("a"), f.alias("b")
     pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
         F.col("a.doc_id").alias("doc_id_a"),
         F.col("b.doc_id").alias("doc_id_b"),
+        F.col("a.lang").alias("lang_a"),
         (F.col("a.lang") == F.col("b.lang")).alias("agr_lang"),
         (C.hamming_hex(F.col("a.h"), F.col("b.h")) <= 60).alias("agr_near"),
         (F.abs(F.col("a.L") - F.col("b.L")) <= 5).alias("agr_len"),
     )
     params = {c: FieldParams(m=m, u=u) for c, (m, u) in _FS_PARAMS.items()}
     out = match_weight(pairs, params)
+    out = tf_adjusted_weight(
+        out, "agr_lang", F.col("lang_a"), params["agr_lang"],
+        term_frequencies(docs, "lang"), "w_lang_tf",
+    )
+    near_len_terms = None
+    for col in ("agr_near", "agr_len"):
+        m, u = _FS_PARAMS[col]
+        term = (
+            F.when(F.col(col).isNull(), F.lit(0.0))
+            .when(F.col(col), F.lit(math.log2(m / u)))
+            .otherwise(F.lit(math.log2((1 - m) / (1 - u))))
+        )
+        near_len_terms = term if near_len_terms is None else near_len_terms + term
+    out = out.withColumn("fs_weight_tf", F.col("w_lang_tf") + near_len_terms)
     return out.select(
         "doc_id_a", "doc_id_b", "agr_lang", "agr_near", "agr_len",
         F.round("fs_weight", 6).alias("fs_weight"),
+        F.round("fs_weight_tf", 6).alias("fs_weight_tf"),
     )
 
 
@@ -1403,7 +1433,11 @@ def q_multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_fs_match_weights() -> str:
     """Oracle for q_fs_match_weights: the same agreement predicates and the
     same python-computed log2 constants (repr-embedded, exact doubles),
-    summed in the same left-to-right order."""
+    summed in the same left-to-right order. fs_weight_tf mirrors the
+    term-frequency adjustment: the lang term becomes
+    log2(m / (tf_cnt / tf_n)) from frequencies DuckDB recomputes over the
+    same documents — integer counts, one correctly-rounded double
+    division, so both engines feed log2 the identical double."""
     import math
 
     terms = []
@@ -1411,18 +1445,34 @@ def _sql_fs_match_weights() -> str:
         wa, wd = math.log2(m / u), math.log2((1 - m) / (1 - u))
         terms.append(f"(CASE WHEN {col} THEN {wa!r} ELSE {wd!r} END)")
     wsum = " + ".join(terms)
+    m_l, u_l = _FS_PARAMS["agr_lang"]
+    wd_l = math.log2((1 - m_l) / (1 - u_l))
+    tf_term = (
+        f"(CASE WHEN agr_lang IS NULL THEN 0.0 "
+        f"WHEN agr_lang THEN log2({m_l!r} / coalesce(tf_cnt / tf_n, {u_l!r})) "
+        f"ELSE {wd_l!r} END)"
+    )
+    wsum_tf = " + ".join([tf_term] + terms[1:])
     return f"""
         WITH f AS (SELECT doc_id, lang, len(text)::BIGINT AS L,
                           md5(text) AS h
                    FROM documents),
+        tf AS (SELECT lang AS value, count(*)::BIGINT AS tf_cnt
+               FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        tfn AS (SELECT sum(tf_cnt)::BIGINT AS tf_n FROM tf),
         p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     a.lang AS lang_a,
                      (a.lang = b.lang) AS agr_lang,
                      ({_sql_hamming128('a.h', 'b.h')} <= 60) AS agr_near,
                      (abs(a.L - b.L) <= 5) AS agr_len
-              FROM f a JOIN f b ON b.doc_id = a.doc_id + 1)
+              FROM f a JOIN f b ON b.doc_id = a.doc_id + 1),
+        j AS (SELECT p.*, tf.tf_cnt, tfn.tf_n
+              FROM p CROSS JOIN tfn
+              LEFT JOIN tf ON p.agr_lang AND tf.value = p.lang_a)
         SELECT doc_id_a, doc_id_b, agr_lang, agr_near, agr_len,
-               round({wsum}, 6) AS fs_weight
-        FROM p
+               round({wsum}, 6) AS fs_weight,
+               round({wsum_tf}, 6) AS fs_weight_tf
+        FROM j
     """
 
 

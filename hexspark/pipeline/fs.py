@@ -182,6 +182,74 @@ def estimate_mu(
     )
 
 
+def term_frequencies(records: DataFrame, col: str) -> DataFrame:
+    """Relative frequency of each non-null value of ``col``:
+    (value, tf_cnt, tf_n, tf) at distinct-value grain, tf = tf_cnt / tf_n.
+
+    Feeds :func:`tf_adjusted_weight`. One map-side-combinable count per
+    value plus a one-row broadcast total — no action, fully lazy. The
+    output is distinct-value-sized: broadcastable for low-cardinality
+    fields (lang, country, title); for high-cardinality fields pass
+    ``broadcast=False`` downstream and let AQE place the join — the hot
+    rows are the COMMON values, which is exactly where the adjustment
+    bites, and a hash join on the agreed value handles them without
+    blowing the driver.
+    """
+    counts = (
+        records.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("tf_cnt"))
+    )
+    total = counts.agg(F.sum("tf_cnt").alias("tf_n"))
+    return counts.crossJoin(F.broadcast(total)).withColumn(
+        "tf", F.col("tf_cnt") / F.col("tf_n")
+    )
+
+
+def tf_adjusted_weight(
+    pairs: DataFrame,
+    agree_col: str,
+    value_col: Column,
+    fp: FieldParams,
+    tfs: DataFrame,
+    out_col: str,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Single-field FS weight with a term-frequency adjustment (the
+    Splink-style refinement of the classical model): agreement on value v
+    scores ``log2(m / tf(v))`` instead of the field-average ``log2(m/u)``
+    — agreeing on a RARE value (tf << u) is much stronger evidence than
+    agreeing on a common one, e.g. two records sharing surname
+    XANTHOPOULOS vs two sharing SMITH. Disagreement keeps the standard
+    ``log2((1-m)/(1-u))``; NULL agreement contributes 0. When every value
+    is equally common (tf == u for all v) the adjusted weight equals the
+    base :func:`match_weight` term exactly.
+
+    ``value_col`` is the record value the pair agreed on (either side —
+    they're equal under agreement). The join key is NULL unless the pair
+    agrees, so only agreeing pairs probe the frequency table; a value
+    absent from ``tfs`` (impossible when the table was built from the
+    same records) falls back to u. Cost on the pair stream: one
+    broadcast-hash probe (``broadcast=True``, the default, for
+    distinct-value tables that fit the driver) or one AQE-placed hash
+    join — the scorer itself stays a codegen CASE projection.
+    """
+    _validate({agree_col: fp})
+    key = F.when(F.col(agree_col), value_col)
+    tf_side = tfs.select(F.col("value").alias("_tf_key"), "tf")
+    if broadcast:
+        tf_side = F.broadcast(tf_side)
+    joined = pairs.withColumn("_tf_key", key).join(tf_side, "_tf_key", "left")
+    agree_w = F.log2(F.lit(fp.m) / F.coalesce(F.col("tf"), F.lit(fp.u)))
+    disagree_w = F.lit(math.log2((1.0 - fp.m) / (1.0 - fp.u)))
+    w = (
+        F.when(F.col(agree_col).isNull(), F.lit(0.0))
+        .when(F.col(agree_col), agree_w)
+        .otherwise(disagree_w)
+    )
+    return joined.withColumn(out_col, w).drop("_tf_key", "tf")
+
+
 # ---------------------------------------------------------------------------
 # Production composition: FS scoring over the pipeline's WIDE pair stream
 # ---------------------------------------------------------------------------

@@ -248,3 +248,95 @@ def test_score_wide_fs_plan_has_no_python_stage(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow", "MapInPandas"):
         assert marker not in plan, marker
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency adjustment
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tf_records(spark):
+    # 8 non-null values: 'smith' x 5 (tf=0.625), 'jones' x 2 (tf=0.25),
+    # 'xanthopoulos' x 1 (tf=0.125); one NULL excluded from the table.
+    rows = [(i, v) for i, v in enumerate(
+        ["smith"] * 5 + ["jones"] * 2 + ["xanthopoulos"] + [None]
+    )]
+    return spark.createDataFrame(rows, "rec_id long, surname string")
+
+
+def test_term_frequencies_values(spark, tf_records):
+    from hexspark.pipeline.fs import term_frequencies
+
+    got = {r["value"]: r for r in term_frequencies(tf_records, "surname").collect()}
+    assert set(got) == {"smith", "jones", "xanthopoulos"}
+    assert got["smith"]["tf_cnt"] == 5 and got["smith"]["tf_n"] == 8
+    assert got["smith"]["tf"] == pytest.approx(5 / 8)
+    assert got["xanthopoulos"]["tf"] == pytest.approx(1 / 8)
+
+
+def test_tf_adjusted_weight_values(spark, tf_records):
+    from hexspark.pipeline.fs import term_frequencies, tf_adjusted_weight
+
+    fp = FieldParams(m=0.9, u=0.3)
+    tfs = term_frequencies(tf_records, "surname")
+    pairs = spark.createDataFrame(
+        [
+            (1, True, "xanthopoulos"),   # rare agreement: strong evidence
+            (2, True, "smith"),          # common agreement: weak / negative
+            (3, False, None),            # disagreement: unchanged
+            (4, None, None),             # null: 0
+        ],
+        "pair_id long, agr boolean, val string",
+    )
+    out = tf_adjusted_weight(pairs, "agr", F.col("val"), fp, tfs, "w_tf")
+    got = {r["pair_id"]: r["w_tf"] for r in out.collect()}
+    assert got[1] == pytest.approx(math.log2(0.9 / (1 / 8)))
+    assert got[2] == pytest.approx(math.log2(0.9 / (5 / 8)))
+    assert got[3] == pytest.approx(math.log2(0.1 / 0.7))
+    assert got[4] == pytest.approx(0.0)
+    # rare-value agreement strictly outweighs the field average, common
+    # value strictly under it
+    base = math.log2(fp.m / fp.u)
+    assert got[1] > base > got[2]
+
+
+def test_tf_adjustment_reduces_to_base_weight_when_uniform(spark):
+    """If every value is equally common and u == tf, the adjusted term
+    equals the classical field-average weight exactly."""
+    from hexspark.pipeline.fs import term_frequencies, tf_adjusted_weight
+
+    recs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(["a", "b", "c", "d"])],
+        "rec_id long, f string",
+    )
+    fp = FieldParams(m=0.8, u=0.25)  # u == tf == 1/4
+    tfs = term_frequencies(recs, "f")
+    pairs = spark.createDataFrame(
+        [(1, True, "a"), (2, True, "d"), (3, False, None)],
+        "pair_id long, agr boolean, val string",
+    )
+    out = tf_adjusted_weight(pairs, "agr", F.col("val"), fp, tfs, "w_tf")
+    base = match_weight(
+        pairs.select("pair_id", F.col("agr").alias("agr_f")),
+        {"agr_f": fp},
+    )
+    got = {r["pair_id"]: r["w_tf"] for r in out.collect()}
+    want = {r["pair_id"]: r["fs_weight"] for r in base.collect()}
+    for pid in got:
+        assert got[pid] == pytest.approx(want[pid], abs=1e-12), pid
+
+
+def test_tf_adjusted_weight_plan_broadcasts(spark, tf_records):
+    """The frequency probe must be a broadcast hash join — the pair stream
+    must not gain an exchange from the adjustment."""
+    from hexspark.pipeline.fs import term_frequencies, tf_adjusted_weight
+
+    fp = FieldParams(m=0.9, u=0.3)
+    tfs = term_frequencies(tf_records, "surname")
+    pairs = spark.createDataFrame(
+        [(1, True, "smith")], "pair_id long, agr boolean, val string"
+    )
+    out = tf_adjusted_weight(pairs, "agr", F.col("val"), fp, tfs, "w_tf")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
