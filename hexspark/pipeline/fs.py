@@ -262,12 +262,15 @@ def wide_pair_agreements(
     pairs_wide: DataFrame,
     chunk_dist: int = DEFAULT_CHUNK_DIST,
     canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+    keep_canon_prefix: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """Boolean comparison fields over the pipeline's wide candidate pairs
     (blocking.candidate_pairs_wide schema: conv_id_a/b, canon_a/b,
     c{i}_a/b signature chunk longs).
 
-    Fields (all whole-stage-codegen expressions, no UDF, no shuffle):
+    Fields (all whole-stage-codegen expressions, no UDF, no shuffle;
+    ``keep_canon_prefix=True`` additionally carries the a-side canon
+    prefix value through — the join key for term-frequency adjustment):
 
     * ``agree_c{i}`` — bit_count(c{i}_a ^ c{i}_b) <= chunk_dist: the
       reference's within-distance predicate (python_hexhamming.cc:62-64)
@@ -304,6 +307,10 @@ def wide_pair_agreements(
         ).alias("agree_canon")
     )
     names.append("agree_canon")
+    if keep_canon_prefix:
+        cols.append(
+            F.substring("canon_a", 1, canon_prefix_len).alias("canon_prefix")
+        )
     return (
         pairs_wide.withColumn("hamming_dist", hamming_jvm()).select(
             "conv_id_a", "conv_id_b", "hamming_dist", *cols
@@ -337,12 +344,31 @@ def fit_wide_pairs(
     return estimate_mu(with_agree, names)
 
 
+def canon_term_frequencies(
+    signatures: DataFrame, canon_prefix_len: int = DEFAULT_CANON_PREFIX
+) -> DataFrame:
+    """Corpus frequency table of the canon-prefix comparison value, for
+    term-frequency-adjusted FS scoring of the ``agree_canon`` field. Built
+    from the SIGNATURES stage (one row per conversation), so the grain is
+    distinct prefixes — data-sized, not pair-sized. In the runner this is
+    a materialized stage table: incremental folds score under the CORPUS
+    frequencies, mirroring how they reuse the fitted (m, u, p) model."""
+    return term_frequencies(
+        signatures.select(
+            F.substring("canon", 1, canon_prefix_len).alias("canon_prefix")
+        ),
+        "canon_prefix",
+    )
+
+
 def score_wide_fs(
     pairs_wide: DataFrame,
     params: dict[str, FieldParams],
     threshold: float,
     chunk_dist: int = DEFAULT_CHUNK_DIST,
     canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+    canon_tf: DataFrame | None = None,
+    tf_broadcast: bool = False,
 ) -> DataFrame:
     """B6+B7 in Fellegi-Sunter mode: agreement fields → summed
     log2-likelihood weight → ``fs_weight >= threshold`` gate. The whole
@@ -351,14 +377,62 @@ def score_wide_fs(
     Arrow kernel is replaced by the canon-prefix field), so FS mode is the
     CHEAPER scorer as well as the calibrated one.
 
+    ``canon_tf`` (from :func:`canon_term_frequencies`) switches the
+    ``agree_canon`` field to its term-frequency-adjusted weight: sharing a
+    CORPUS-COMMON opening (boilerplate greetings, templated preambles)
+    stops counting as strong match evidence, while sharing a rare prefix
+    counts for more. Cost: one hash join keyed on the agreed prefix —
+    left default ``tf_broadcast=False`` because the distinct-prefix table
+    scales with the corpus, and the hot join keys are precisely the
+    common prefixes, which AQE's skew split handles; pass True only when
+    the prefix table is known small. The chunk fields stay a pure codegen
+    CASE either way.
+
     Output edges(conv_id_a, conv_id_b, hamming_dist, fs_weight)."""
     with_agree, names = wide_pair_agreements(
-        pairs_wide, chunk_dist=chunk_dist, canon_prefix_len=canon_prefix_len
+        pairs_wide,
+        chunk_dist=chunk_dist,
+        canon_prefix_len=canon_prefix_len,
+        keep_canon_prefix=canon_tf is not None,
     )
     missing = set(names) - set(params)
     if missing:
         raise ValueError(f"params missing fields: {sorted(missing)}")
-    weighted = match_weight(with_agree, {n: params[n] for n in names})
+    if canon_tf is None:
+        weighted = match_weight(with_agree, {n: params[n] for n in names})
+    else:
+        # Join BELOW the weight projection on the RAW a-side prefix (a
+        # plain substring of a base attribute), not on the
+        # when(agree_canon, prefix) key tf_adjusted_weight uses: a join
+        # key that embeds the big agreement CASE trees sends Catalyst's
+        # constraint inference (inferAdditionalConstraints) quadratic on
+        # deep pair plans — the incremental fold's un-materialized
+        # new-vs-all plan optimized for tens of minutes. Joining on the
+        # simple key is semantics-identical (a disagreeing pair just
+        # carries an unused tf) and keeps the giant CASEs in one
+        # projection above the join.
+        fp_canon = params["agree_canon"]
+        tf_side = canon_tf.select(F.col("value").alias("_tf_key"), "tf")
+        if tf_broadcast:
+            tf_side = F.broadcast(tf_side)
+        joined = with_agree.withColumn("_tf_key", F.col("canon_prefix")).join(
+            tf_side, "_tf_key", "left"
+        )
+        chunk_fields = {n: params[n] for n in names if n != "agree_canon"}
+        canon_term = (
+            F.when(F.col("agree_canon").isNull(), F.lit(0.0))
+            .when(
+                F.col("agree_canon"),
+                F.log2(F.lit(fp_canon.m) / F.coalesce(F.col("tf"), F.lit(fp_canon.u))),
+            )
+            .otherwise(
+                F.lit(math.log2((1.0 - fp_canon.m) / (1.0 - fp_canon.u)))
+            )
+        )
+        weighted = match_weight(joined, chunk_fields)
+        weighted = weighted.withColumn(
+            "fs_weight", F.col("fs_weight") + canon_term
+        )
     return weighted.where(F.col("fs_weight") >= F.lit(threshold)).select(
         "conv_id_a", "conv_id_b", "hamming_dist", "fs_weight"
     )

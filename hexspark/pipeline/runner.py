@@ -48,6 +48,13 @@ class PipelineConfig:
     scoring_mode: str = "blend"
     fs_chunk_dist: int = 4
     fs_canon_prefix_len: int = 16
+    # term-frequency adjustment for the canon-prefix field (fs mode only):
+    # corpus frequencies of each prefix become the agreement weight —
+    # sharing a boilerplate opening stops counting as strong evidence,
+    # sharing a rare one counts for more. The frequency table is a
+    # materialized stage table (canon_tf) so incremental folds score under
+    # the corpus frequencies, exactly like they reuse the fitted model.
+    fs_tf_adjust: bool = False
     # explicit decision threshold; None derives log2((1-p)/p) from the
     # fitted prevalence (the parameter-free Bayes decision point)
     fs_threshold: float | None = None
@@ -81,6 +88,11 @@ class Runner:
         self.spark = spark
         self.io = TableIO(spark, workdir)
         self.cfg = config or PipelineConfig()
+        if self.cfg.fs_tf_adjust and self.cfg.scoring_mode != "fs":
+            raise ValueError(
+                "fs_tf_adjust applies only to scoring_mode='fs' "
+                f"(got scoring_mode={self.cfg.scoring_mode!r})"
+            )
         self.workdir = workdir
         self._manifest_path = os.path.join(workdir, "run_manifest.json")
 
@@ -175,6 +187,17 @@ class Runner:
 
         pairs = self._run_stage(manifest, result, "candidate_pairs", build_pairs)
 
+        canon_tf = None
+        if cfg.scoring_mode == "fs" and cfg.fs_tf_adjust:
+            from . import fs
+
+            canon_tf = self._run_stage(
+                manifest,
+                result,
+                "canon_tf",
+                lambda: fs.canon_term_frequencies(sigs, cfg.fs_canon_prefix_len),
+            )
+
         def build_edges() -> DataFrame:
             p = pairs
             if cfg.pair_partitions:
@@ -207,6 +230,7 @@ class Runner:
                     thr,
                     chunk_dist=cfg.fs_chunk_dist,
                     canon_prefix_len=cfg.fs_canon_prefix_len,
+                    canon_tf=canon_tf,
                 )
             if cfg.wide_pairs:
                 return scoring.score_wide(
@@ -273,8 +297,14 @@ class Runner:
         from . import incremental
 
         manifest = self._manifest()
-        required = ("signatures", "clusters") + (
-            ("triangles", "bridge_edges") if self.cfg.robust else ()
+        required = (
+            ("signatures", "clusters")
+            + (("triangles", "bridge_edges") if self.cfg.robust else ())
+            + (
+                ("canon_tf",)
+                if self.cfg.scoring_mode == "fs" and self.cfg.fs_tf_adjust
+                else ()
+            )
         )
         for stage in required:
             if not (manifest["completed"].get(stage) and self.io.exists(stage)):
@@ -320,13 +350,41 @@ class Runner:
                     "stage); this workdir has none"
                 )
             params, _prev = fs.params_from_json(model)
-            score_fn = lambda p: fs.score_wide_fs(  # noqa: E731
-                p,
-                params,
-                model["threshold"],
-                chunk_dist=cfg.fs_chunk_dist,
-                canon_prefix_len=cfg.fs_canon_prefix_len,
+            # TF mode scores the batch under the CORPUS frequency table
+            # (the canon_tf stage), not batch-local frequencies — the same
+            # no-thin-batch-refit rule as the model itself
+            canon_tf = (
+                self.io.read("canon_tf") if cfg.fs_tf_adjust else None
             )
+
+            def score_fn(p):
+                if canon_tf is not None:
+                    # TF mode puts a JOIN above the pair stream. In the
+                    # batch run the pairs come back from a materialized
+                    # stage table, so the join sits on a shallow scan; here
+                    # they are the un-materialized new-vs-all plan, and
+                    # Join.validConstraints re-derives the constraint set
+                    # through every banding projection below it —
+                    # inferAdditionalConstraints goes quadratic over those
+                    # CASE trees and the optimizer spins for tens of
+                    # minutes on a 41-row fold. localCheckpoint does NOT
+                    # help: LogicalRDD.fromDataset rewrites the old plan's
+                    # constraints onto the checkpoint and hits the same
+                    # derivation. Only a real table round-trip yields a
+                    # scan with a clean constraint set — merely EXECUTING
+                    # the deep plan is cheap (the blend fold proves it);
+                    # it is asking for its `constraints` that explodes.
+                    # Cost: one batch-proportional scratch-table write.
+                    self.io.write(p, "fold_pairs_scratch")
+                    p = self.io.read("fold_pairs_scratch")
+                return fs.score_wide_fs(
+                    p,
+                    params,
+                    model["threshold"],
+                    chunk_dist=cfg.fs_chunk_dist,
+                    canon_prefix_len=cfg.fs_canon_prefix_len,
+                    canon_tf=canon_tf,
+                )
         res = incremental.incremental_update(
             new_transcripts,
             self.io.read("signatures"),

@@ -6,6 +6,7 @@
         --workdir <stage-table root (Iceberg namespace or path)> \\
         [--max-dist 20] [--n-bands 16] [--max-block 2000] [--min-score 0.0]
         [--scoring-mode blend|fs]  # fs = EM-calibrated Fellegi-Sunter gate
+        [--fs-tf-adjust]  # fs: term-frequency-adjust the canon field
         [--robust]        # cluster on triangle-corroborated edges only,
                           # queue bridge edges for review (bridge_edges table)
         [--incremental]   # fold --input as a NEW batch into a completed run
@@ -46,6 +47,14 @@ def main() -> None:
         "--fs-threshold", type=float, default=None,
         help="FS decision weight; default derives the posterior-0.5 "
              "threshold log2((1-p)/p) from the fitted prevalence",
+    )
+    ap.add_argument(
+        "--fs-tf-adjust", action="store_true",
+        help="fs mode only: term-frequency-adjust the canon-prefix field — "
+             "corpus frequency of the shared prefix sets its agreement "
+             "weight (boilerplate openings stop counting as evidence); "
+             "frequencies land in the canon_tf stage table and incremental "
+             "folds reuse them",
     )
     ap.add_argument(
         "--robust", action="store_true",
@@ -95,6 +104,7 @@ def main() -> None:
         min_score=args.min_score,
         scoring_mode=args.scoring_mode,
         fs_threshold=args.fs_threshold,
+        fs_tf_adjust=args.fs_tf_adjust,
         robust=args.robust,
     )
     runner = Runner(spark, args.workdir, cfg)

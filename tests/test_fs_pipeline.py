@@ -217,3 +217,153 @@ def test_fs_composes_with_robust_mode(spark, tmp_path):
     ]
     n_convs = tr.select("conv_id").distinct().count()
     assert res.tables["clusters"].count() == n_convs
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency-adjusted FS mode (canon_tf stage)
+# ---------------------------------------------------------------------------
+
+
+def _wide_pair(spark, canon_a, canon_b, chunk_dist_bits=0):
+    """One handcrafted wide pair: identical signature chunks (so every
+    chunk field agrees) with the given canon keys."""
+    row = {"conv_id_a": "a", "conv_id_b": "b", "canon_a": canon_a, "canon_b": canon_b}
+    for i in range(8):
+        row[f"c{i}_a"] = 7 + i
+        row[f"c{i}_b"] = (7 + i) ^ ((1 << chunk_dist_bits) - 1)
+    fields = ["conv_id_a string", "conv_id_b string", "canon_a string", "canon_b string"]
+    fields += [f"c{i}_{s} long" for i in range(8) for s in ("a", "b")]
+    return spark.createDataFrame([row], ", ".join(fields))
+
+
+def test_score_wide_fs_tf_demotes_common_prefix_promotes_rare(spark):
+    """The TF-adjusted canon field scores agreement on a corpus-common
+    prefix BELOW the field-average weight and agreement on a rare prefix
+    ABOVE it; disagreeing pairs are untouched."""
+    from hexspark.pipeline import fs
+
+    common, rare = "the common preamble", "rare unique opening"
+    # 8 signatures: 6 share the common prefix, 1 rare, 1 other
+    sigs = spark.createDataFrame(
+        [(f"s{i}", common + f" tail {i}") for i in range(6)]
+        + [("s6", rare + " more"), ("s7", "somebody else entirely")],
+        "conv_id string, canon string",
+    )
+    tfs = fs.canon_term_frequencies(sigs, canon_prefix_len=16)
+    params = {f"agree_c{i}": fs.FieldParams(0.9, 0.1) for i in range(8)}
+    params["agree_canon"] = fs.FieldParams(0.9, 0.3)  # u between rare (1/8) and common (6/8) tf
+
+    def weight(canon_a, canon_b, canon_tf):
+        out = fs.score_wide_fs(
+            _wide_pair(spark, canon_a, canon_b),
+            params,
+            threshold=-1e9,
+            canon_prefix_len=16,
+            canon_tf=canon_tf,
+        )
+        return out.collect()[0]["fs_weight"]
+
+    w_common_plain = weight(common + " x", common + " y", None)
+    w_common_tf = weight(common + " x", common + " y", tfs)
+    w_rare_plain = weight(rare + " x", rare + " y", None)
+    w_rare_tf = weight(rare + " x", rare + " y", tfs)
+    # plain FS can't tell the two prefixes apart; TF can
+    assert w_common_plain == pytest.approx(w_rare_plain)
+    assert w_common_tf < w_common_plain        # 6/8 common: demoted
+    assert w_rare_tf > w_rare_plain            # 1/8 rare: promoted
+    import math
+    # exact values: canon term is log2(m / tf)
+    base = w_common_plain - math.log2(0.9 / 0.3)
+    assert w_common_tf == pytest.approx(base + math.log2(0.9 / (6 / 8)))
+    assert w_rare_tf == pytest.approx(base + math.log2(0.9 / (1 / 8)))
+    # disagreement identical with and without the table
+    w_dis_plain = weight("alpha one two", "beta three four", None)
+    w_dis_tf = weight("alpha one two", "beta three four", tfs)
+    assert w_dis_tf == pytest.approx(w_dis_plain)
+
+
+def test_fs_tf_mode_materializes_stage_and_keeps_recall(spark, tmp_path):
+    """Runner(fs_tf_adjust=True): the canon_tf stage table lands (resumable
+    like any stage), edges keep the FS schema, and clustering quality on
+    the standard corpus does not regress."""
+    tr = fixtures.transcripts_df(spark, n_base=60, seed=7, mutation_rate=0.02)
+    labels = fixtures.labeled_pairs_df(spark, tr)
+    wd = str(tmp_path / "fs_tf")
+    cfg = PipelineConfig(**CFG, scoring_mode="fs", fs_tf_adjust=True)
+    res = Runner(spark, wd, cfg).run(tr)
+    assert "canon_tf" in res.stages_run
+    tf = res.tables["canon_tf"]
+    assert set(tf.columns) == {"value", "tf_cnt", "tf_n", "tf"}
+    # frequencies are a probability mass over distinct prefixes
+    import math
+    s = tf.agg(F.sum("tf")).collect()[0][0]
+    assert s == pytest.approx(1.0)
+    m = evaluate.pairwise_f1(
+        labels,
+        res.tables["clusters"],
+        candidate_pairs=res.tables["candidate_pairs"].select("conv_id_a", "conv_id_b"),
+    )
+    assert m["recall"] == 1.0
+    assert m["f1"] >= 0.99
+    # resume: a rerun skips every stage including canon_tf
+    res2 = Runner(spark, wd, cfg).run(tr)
+    assert res2.stages_run == []
+    assert "canon_tf" in res2.stages_skipped
+
+
+def test_fs_tf_incremental_reuses_corpus_frequencies(spark, tmp_path):
+    """The fold scores under the batch run's canon_tf table (no batch-local
+    recount) and refuses to run if the stage is missing."""
+    import os
+    import shutil
+
+    tr = fixtures.transcripts_df(spark, n_base=40, seed=13, mutation_rate=0.02)
+    wd = str(tmp_path / "fs_tf_inc")
+    cfg = PipelineConfig(**CFG, scoring_mode="fs", fs_tf_adjust=True)
+    Runner(spark, wd, cfg).run(tr)
+    before = sorted(
+        (r["value"], r["tf_cnt"]) for r in
+        Runner(spark, wd, cfg).io.read("canon_tf").collect()
+    )
+
+    donor = tr.select("conv_id").distinct().orderBy("conv_id").limit(1).collect()[0][0]
+    base = donor.rsplit("_d", 1)[0]
+    newtr = tr.where(F.col("conv_id") == donor).withColumn(
+        "conv_id", F.lit(f"{base}_d9")
+    )
+    r2 = Runner(spark, wd, cfg)
+    res = r2.run_incremental(newtr)
+    after = sorted(
+        (r["value"], r["tf_cnt"]) for r in r2.io.read("canon_tf").collect()
+    )
+    assert after == before  # corpus table untouched by the fold
+    cl = {r["conv_id"]: r["cluster_id"] for r in res.tables["clusters"].collect()}
+    assert cl[f"{base}_d9"] == cl[donor]
+
+    # missing canon_tf stage → refuse
+    wd2 = str(tmp_path / "fs_tf_inc2")
+    Runner(spark, wd2, cfg).run(tr.where(F.col("conv_id") != donor))
+    shutil.rmtree(os.path.join(wd2, "canon_tf"))
+    with pytest.raises(ValueError, match="canon_tf"):
+        Runner(spark, wd2, cfg).run_incremental(newtr)
+
+
+def test_fs_tf_adjust_requires_fs_mode(spark, tmp_path):
+    with pytest.raises(ValueError, match="fs_tf_adjust"):
+        Runner(
+            spark,
+            str(tmp_path / "tf_blend"),
+            PipelineConfig(**CFG, scoring_mode="blend", fs_tf_adjust=True),
+        )
+
+
+def test_fs_tf_adjust_is_config_drift(spark, tmp_path):
+    """Turning the adjustment on over a plain-FS workdir must trip the
+    drift guard — the edges were gated under different weights."""
+    tr = fixtures.transcripts_df(spark, n_base=20, seed=2, mutation_rate=0.02)
+    wd = str(tmp_path / "tf_drift")
+    Runner(spark, wd, PipelineConfig(**CFG, scoring_mode="fs")).run(tr)
+    with pytest.raises(ValueError, match="different pipeline config"):
+        Runner(
+            spark, wd, PipelineConfig(**CFG, scoring_mode="fs", fs_tf_adjust=True)
+        ).run(tr)
