@@ -1593,6 +1593,32 @@ def q_token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_blocking_pairs(docs, "doc_id", F.col("text"), max_df=2, ngram=3)
 
 
+def q_meta_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4-meta meta-blocking (pipeline/metablocking.blocking_graph + WEP):
+    the weighted blocking graph over word-TRIGRAM token blocks (df 2..8 —
+    the >=2 floor is blocking_graph's own size filter, the 8 cap is the
+    paper's block-purging step), one row per co-occurring pair with its
+    evidence weights and the Weight-Edge-Pruning keep decision. cbs is an
+    exact long; js and the WEP mean are each ONE IEEE division of exact
+    longs, so every cell is engine-stable. arcs (an order-dependent float
+    sum) stays pytest-pinned in tests/test_metablocking.py and is not
+    emitted here."""
+    from hexspark.ops.setjoin import word_ngram_keys
+    from hexspark.pipeline.metablocking import blocking_graph
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    blocks = word_ngram_keys(docs, "doc_id", F.col("text"), 3)
+    g = blocking_graph(blocks, id_col="doc_id", key_col="token", max_block=8)
+    mean = g.agg(F.avg("cbs").alias("_mw"))
+    return g.join(F.broadcast(mean)).select(
+        "doc_id_a",
+        "doc_id_b",
+        "cbs",
+        "js",
+        (F.col("cbs") >= F.col("_mw")).cast("int").alias("keep_wep"),
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog-style distinct sketch (ops/sketch.hll_registers /
     hll_estimate, m=64) over orders.o_custkey, next to the exact count:
@@ -1836,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pairs": q_link_pairs,
         "link_best": q_link_best,
         # -- new or changed this round --
+        "meta_block_pairs": q_meta_block_pairs,
         "linkage_f1": q_linkage_f1,
         "event_sessions": q_event_sessions,
         "string_sim_pairs": q_string_sim_pairs,
@@ -1850,7 +1877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_dist_by_lang": q_within_dist_by_lang,
         "probe_first_match": q_probe_first_match,
         "assemble_user_events": q_assemble_user_events,
-        "lsh_bands": q_lsh_bands,
+        # lsh_bands retired for the 50-row cap: candidate_pairs recomputes
+        # the identical band projection inline and hash-checks its full
+        # derivation, so the standalone projection row added no evidence
         "candidate_pairs": q_candidate_pairs,
         "match_edges": q_match_edges,
         "cluster_match_edges": q_cluster_match_edges,
@@ -1915,10 +1944,33 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
             FROM events GROUP BY user_id
         """,
-        "lsh_bands": """
-            SELECT doc_id, r.band_id AS band_id,
-                   substr(md5(text), (r.band_id*2+1)::INT, 2) AS band_val
-            FROM documents CROSS JOIN (SELECT unnest(range(0,16)) AS band_id) r
+        "meta_block_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            toks AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS token
+              FROM w, unnest(range(1, len(ws) - 1)) AS r(i)),
+            kept AS (SELECT token FROM toks
+                     GROUP BY token HAVING count(*) BETWEEN 2 AND 8),
+            rt AS (SELECT doc_id, toks.token FROM toks JOIN kept USING (token)),
+            nb AS (SELECT doc_id, count(*) AS nblocks FROM rt GROUP BY doc_id),
+            e AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS cbs
+              FROM rt a JOIN rt b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            j AS (
+              SELECT da, db, cbs,
+                     cbs::DOUBLE / (na.nblocks + nbb.nblocks - cbs) AS js
+              FROM e JOIN nb na ON na.doc_id = e.da
+                     JOIN nb nbb ON nbb.doc_id = e.db),
+            m AS (SELECT avg(cbs) AS mw FROM j)
+            SELECT da AS doc_id_a, db AS doc_id_b, cbs, js,
+                   (cbs >= mw)::INT AS keep_wep
+            FROM j, m
         """,
         "candidate_pairs": """
             WITH bands AS (
