@@ -134,6 +134,21 @@ def _match_mask(n_bands: int) -> Column:
     return expr.cast("long")
 
 
+def shared_band_count(n_bands: int = 16) -> Column:
+    """CBS meta-blocking weight of a WIDE pair row: how many bands the two
+    signatures agree on — a popcount of the band-match bitmask computed
+    from the carried c{i}_a/c{i}_b chunk longs. Pure codegen, no join back
+    to any membership table. Because bands are positional (band b of one
+    signature can only share a block with band b of the other), this IS
+    the Common Blocks Scheme weight of the LSH block collection
+    (pipeline/metablocking.py) evaluated per pair for free."""
+    expr = None
+    for b in range(n_bands):
+        t = F.when(_band_match_bit(b, n_bands), 1).otherwise(0)
+        expr = t if expr is None else expr + t
+    return expr.cast("long")
+
+
 def sig_chunks_raw():
     """The 8 x 32-bit chunk expressions of sig_hex without side suffix
     (single definition in scoring.sig_chunks_raw; re-exported here for the

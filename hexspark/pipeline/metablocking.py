@@ -155,6 +155,31 @@ def wep_prune(graph: DataFrame, weight_col: str = "cbs") -> DataFrame:
     )
 
 
+def prune_pairs(
+    pairs: DataFrame,
+    weight,
+    scheme: str = "wnp",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Meta-prune an arbitrary (possibly WIDE) candidate-pair stream.
+
+    ``weight`` is a Column evaluated against ``pairs`` (e.g.
+    blocking.shared_band_count — the CBS weight as free codegen on wide
+    pairs). The weighting and pruning run on a slim (id_a, id_b, weight)
+    projection and survivors re-attach with ONE pair-keyed semi-join, so
+    the wide payload (signature chunks, canon keys) never rides the
+    node-keyed pruning shuffles. scheme: "wep" | "wnp"."""
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    slim = pairs.select(a, b, weight.alias("_w"))
+    if scheme == "wep":
+        kept = wep_prune(slim, "_w")
+    elif scheme == "wnp":
+        kept = wnp_prune(slim, id_col=id_col, weight_col="_w")
+    else:
+        raise ValueError(f"unknown meta-prune scheme {scheme!r}")
+    return pairs.join(kept.select(a, b), [a, b], "left_semi")
+
+
 def wnp_prune(graph: DataFrame, id_col: str = "rec_id", weight_col: str = "cbs") -> DataFrame:
     """Weight Node Pruning, redundancy-positive union variant: an edge
     survives if its weight is >= the mean incident-edge weight of EITHER

@@ -58,6 +58,18 @@ class PipelineConfig:
     # explicit decision threshold; None derives log2((1-p)/p) from the
     # fitted prevalence (the parameter-free Bayes decision point)
     fs_threshold: float | None = None
+    # meta-blocking prune (pipeline/metablocking.py): restructure the
+    # candidate set BEFORE scoring by blocking-graph evidence — the CBS
+    # weight (number of agreeing LSH bands; a free codegen popcount over
+    # the wide pair's carried signature chunks, blocking.shared_band_count)
+    # under "wep" (global-mean) or "wnp" (node-local-mean) edge pruning.
+    # Cuts the quadratic scoring phase's input at near-zero recall cost;
+    # the pruned stream lands as its own resumable stage table
+    # (pruned_pairs). Requires wide_pairs. Incremental folds score their
+    # new-vs-all pairs UNPRUNED by design: a batch's node-local means over
+    # a partial graph would drift the threshold, and skipping the prune on
+    # (small) increments is recall-monotone — it can only add edges.
+    meta_prune: str = "off"
     # high-precision mode: cluster only on triangle-corroborated edges and
     # materialize the uncorroborated (bridge) edges as a review-queue stage
     # table. Plain transitive closure is maximally fragile — ONE false
@@ -92,6 +104,16 @@ class Runner:
             raise ValueError(
                 "fs_tf_adjust applies only to scoring_mode='fs' "
                 f"(got scoring_mode={self.cfg.scoring_mode!r})"
+            )
+        if self.cfg.meta_prune not in ("off", "wep", "wnp"):
+            raise ValueError(
+                f"meta_prune must be 'off', 'wep' or 'wnp' "
+                f"(got {self.cfg.meta_prune!r})"
+            )
+        if self.cfg.meta_prune != "off" and not self.cfg.wide_pairs:
+            raise ValueError(
+                "meta_prune requires wide_pairs=True (the CBS weight is "
+                "computed from the carried signature chunks)"
             )
         self.workdir = workdir
         self._manifest_path = os.path.join(workdir, "run_manifest.json")
@@ -186,6 +208,18 @@ class Runner:
             return pairs
 
         pairs = self._run_stage(manifest, result, "candidate_pairs", build_pairs)
+
+        if cfg.meta_prune != "off":
+            from . import metablocking
+
+            def build_pruned() -> DataFrame:
+                return metablocking.prune_pairs(
+                    pairs,
+                    blocking.shared_band_count(cfg.n_bands),
+                    scheme=cfg.meta_prune,
+                )
+
+            pairs = self._run_stage(manifest, result, "pruned_pairs", build_pruned)
 
         canon_tf = None
         if cfg.scoring_mode == "fs" and cfg.fs_tf_adjust:

@@ -7,6 +7,7 @@
         [--max-dist 20] [--n-bands 16] [--max-block 2000] [--min-score 0.0]
         [--scoring-mode blend|fs]  # fs = EM-calibrated Fellegi-Sunter gate
         [--fs-tf-adjust]  # fs: term-frequency-adjust the canon field
+        [--meta-prune off|wep|wnp]  # meta-blocking candidate prune pre-scoring
         [--robust]        # cluster on triangle-corroborated edges only,
                           # queue bridge edges for review (bridge_edges table)
         [--incremental]   # fold --input as a NEW batch into a completed run
@@ -57,6 +58,14 @@ def main() -> None:
              "folds reuse them",
     )
     ap.add_argument(
+        "--meta-prune", choices=("off", "wep", "wnp"), default="off",
+        help="meta-blocking: prune the candidate-pair stream by blocking-"
+             "graph evidence (CBS = agreeing-band count, free codegen) "
+             "before scoring; 'wep' keeps edges >= the global mean weight, "
+             "'wnp' >= either endpoint's local mean (recall-safer). The "
+             "pruned stream is its own resumable stage table (pruned_pairs)",
+    )
+    ap.add_argument(
         "--robust", action="store_true",
         help="high-precision mode: cluster only on triangle-corroborated "
              "edges; uncorroborated (bridge) edges land in the "
@@ -105,6 +114,7 @@ def main() -> None:
         scoring_mode=args.scoring_mode,
         fs_threshold=args.fs_threshold,
         fs_tf_adjust=args.fs_tf_adjust,
+        meta_prune=args.meta_prune,
         robust=args.robust,
     )
     runner = Runner(spark, args.workdir, cfg)

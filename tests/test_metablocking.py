@@ -157,6 +157,74 @@ def test_blocking_graph_has_no_block_self_join(spark):
     assert len(joins) == 2, joins
 
 
+def test_shared_band_count_matches_hex_bands(spark):
+    """blocking.shared_band_count (the codegen CBS weight over wide pairs)
+    equals the agreeing-4-hex-char-band count of the two sig_hex strings."""
+    from hexspark import fixtures
+    from hexspark.pipeline import assemble, blocking
+    from hexspark.pipeline import simhash as sm
+
+    tr = fixtures.transcripts_df(spark, n_base=40, seed=3, mutation_rate=0.01)
+    sigs = sm.signatures(assemble.assemble_conversations(tr)).persist()
+    pairs, _ = blocking.candidate_pairs_wide(sigs, n_bands=16)
+    got = (
+        pairs.withColumn("cbs", blocking.shared_band_count(16))
+        .select("conv_id_a", "conv_id_b", "cbs")
+        .collect()
+    )
+    assert got, "fixture produced no candidate pairs"
+    hexes = {
+        r["conv_id"]: r["sig_hex"]
+        for r in sigs.select("conv_id", "sig_hex").collect()
+    }
+    for r in got:
+        ha, hb = hexes[r["conv_id_a"]], hexes[r["conv_id_b"]]
+        exp = sum(ha[i * 4:(i + 1) * 4] == hb[i * 4:(i + 1) * 4] for i in range(16))
+        assert r["cbs"] == exp, (r, ha, hb)
+    sigs.unpersist()
+
+
+def test_runner_meta_prune_wnp(spark, tmp_path):
+    """Runner(meta_prune='wnp'): the pruned_pairs stage table lands, is
+    strictly smaller than candidate_pairs, clustering still hits F1 >= 0.99
+    on planted duplicates, and a rerun resumes THROUGH the pruned stage."""
+    from hexspark import fixtures
+    from hexspark.pipeline import evaluate
+    from hexspark.pipeline.runner import PipelineConfig, Runner
+
+    tr = fixtures.transcripts_df(spark, n_base=120, seed=11, mutation_rate=0.01)
+    wd = str(tmp_path / "mp")
+    cfg = dict(max_dist=40, meta_prune="wnp")
+    res = Runner(spark, wd, PipelineConfig(**cfg)).run(tr)
+    n_cand = res.tables["candidate_pairs"].count()
+    n_kept = res.tables["pruned_pairs"].count()
+    assert 0 < n_kept < n_cand, (n_kept, n_cand)
+    labels = fixtures.labeled_pairs_df(spark, tr)
+    m = evaluate.pairwise_f1(
+        labels,
+        res.tables["clusters"],
+        candidate_pairs=res.tables["pruned_pairs"].select("conv_id_a", "conv_id_b"),
+    )
+    assert m["f1"] >= 0.99, m
+
+    res2 = Runner(spark, wd, PipelineConfig(**cfg)).run(tr)
+    assert res2.stages_run == []
+    assert "pruned_pairs" in res2.stages_skipped
+
+
+def test_runner_meta_prune_validation(spark, tmp_path):
+    from hexspark.pipeline.runner import PipelineConfig, Runner
+
+    with pytest.raises(ValueError, match="meta_prune"):
+        Runner(spark, str(tmp_path / "x"), PipelineConfig(meta_prune="bogus"))
+    with pytest.raises(ValueError, match="wide_pairs"):
+        Runner(
+            spark,
+            str(tmp_path / "y"),
+            PipelineConfig(meta_prune="wnp", wide_pairs=False),
+        )
+
+
 def test_meta_blocking_prunes_pipeline_candidates_at_full_recall(spark):
     """End-to-end: WNP over the pipeline's own LSH band keys shrinks the
     candidate set while keeping every planted duplicate pair reachable —
