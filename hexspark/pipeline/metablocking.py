@@ -33,6 +33,12 @@ Pruning schemes:
   redundancy-positive union variant). Personalizes the threshold: a hub
   record with thousands of weak edges keeps only its strong ones, while a
   sparse record keeps its best evidence even if globally weak.
+* CNP (cardinality node pruning, :func:`cnp_prune`) — keep each node's
+  top-k incident edges by weight (union variant: an edge survives if it is
+  in EITHER endpoint's top k). Unlike the weight-threshold schemes this
+  gives a HARD per-record candidate budget — total surviving pairs <= k*n
+  regardless of the weight distribution, which is the property a
+  fixed-throughput scoring fleet actually provisions against.
 
 Plan shape, all Catalyst, no UDF: dedupe (block, id) → per-block sorted id
 arrays (groupBy block) → in-array pair generation carrying the block size
@@ -155,11 +161,49 @@ def wep_prune(graph: DataFrame, weight_col: str = "cbs") -> DataFrame:
     )
 
 
+def cnp_prune(
+    graph: DataFrame,
+    k: int,
+    id_col: str = "rec_id",
+    weight_col: str = "cbs",
+) -> DataFrame:
+    """Cardinality Node Pruning, union variant: an edge survives if its
+    weight ranks in the top ``k`` of EITHER endpoint's incident edges.
+    Deterministic under ties: rank order is (weight desc, other-endpoint
+    id asc), so reruns and engine mirrors agree. Same plan family as WNP
+    — one explode (2 rows per edge), one node-keyed window (row_number
+    instead of avg), one pair-keyed group-back — but the output is budget
+    -bounded: <= k edges per node survive from that node's own vote, so
+    the scoring phase's input is <= k * n_records by construction."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    from pyspark.sql import Window
+
+    doubled = graph.select(
+        F.col(a), F.col(b), F.col(weight_col).alias("_w"),
+        F.explode(F.array(F.col(a), F.col(b))).alias("_node"),
+    ).withColumn(
+        "_other", F.when(F.col("_node") == F.col(a), F.col(b)).otherwise(F.col(a))
+    )
+    w = Window.partitionBy("_node").orderBy(
+        F.col("_w").desc(), F.col("_other").asc()
+    )
+    keep = (
+        doubled.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(a, b)
+        .distinct()
+    )
+    return graph.join(keep, [a, b], "left_semi")
+
+
 def prune_pairs(
     pairs: DataFrame,
     weight,
     scheme: str = "wnp",
     id_col: str = "conv_id",
+    k: int = 10,
 ) -> DataFrame:
     """Meta-prune an arbitrary (possibly WIDE) candidate-pair stream.
 
@@ -168,13 +212,16 @@ def prune_pairs(
     pairs). The weighting and pruning run on a slim (id_a, id_b, weight)
     projection and survivors re-attach with ONE pair-keyed semi-join, so
     the wide payload (signature chunks, canon keys) never rides the
-    node-keyed pruning shuffles. scheme: "wep" | "wnp"."""
+    node-keyed pruning shuffles. scheme: "wep" | "wnp" | "cnp" (``k``
+    applies to cnp only — the per-record candidate budget)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
     slim = pairs.select(a, b, weight.alias("_w"))
     if scheme == "wep":
         kept = wep_prune(slim, "_w")
     elif scheme == "wnp":
         kept = wnp_prune(slim, id_col=id_col, weight_col="_w")
+    elif scheme == "cnp":
+        kept = cnp_prune(slim, k, id_col=id_col, weight_col="_w")
     else:
         raise ValueError(f"unknown meta-prune scheme {scheme!r}")
     return pairs.join(kept.select(a, b), [a, b], "left_semi")

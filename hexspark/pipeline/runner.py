@@ -62,14 +62,18 @@ class PipelineConfig:
     # candidate set BEFORE scoring by blocking-graph evidence — the CBS
     # weight (number of agreeing LSH bands; a free codegen popcount over
     # the wide pair's carried signature chunks, blocking.shared_band_count)
-    # under "wep" (global-mean) or "wnp" (node-local-mean) edge pruning.
-    # Cuts the quadratic scoring phase's input at near-zero recall cost;
-    # the pruned stream lands as its own resumable stage table
-    # (pruned_pairs). Requires wide_pairs. Incremental folds score their
-    # new-vs-all pairs UNPRUNED by design: a batch's node-local means over
-    # a partial graph would drift the threshold, and skipping the prune on
-    # (small) increments is recall-monotone — it can only add edges.
+    # under "wep" (global-mean) or "wnp" (node-local-mean) edge pruning,
+    # or "cnp" (top-meta_cnp_k edges per node — a HARD per-record
+    # candidate budget, <= k*n pairs total regardless of the weight
+    # distribution). Cuts the quadratic scoring phase's input at
+    # near-zero recall cost; the pruned stream lands as its own resumable
+    # stage table (pruned_pairs). Requires wide_pairs. Incremental folds
+    # score their new-vs-all pairs UNPRUNED by design: a batch's
+    # node-local means over a partial graph would drift the threshold,
+    # and skipping the prune on (small) increments is recall-monotone —
+    # it can only add edges.
     meta_prune: str = "off"
+    meta_cnp_k: int = 10
     # high-precision mode: cluster only on triangle-corroborated edges and
     # materialize the uncorroborated (bridge) edges as a review-queue stage
     # table. Plain transitive closure is maximally fragile — ONE false
@@ -105,10 +109,14 @@ class Runner:
                 "fs_tf_adjust applies only to scoring_mode='fs' "
                 f"(got scoring_mode={self.cfg.scoring_mode!r})"
             )
-        if self.cfg.meta_prune not in ("off", "wep", "wnp"):
+        if self.cfg.meta_prune not in ("off", "wep", "wnp", "cnp"):
             raise ValueError(
-                f"meta_prune must be 'off', 'wep' or 'wnp' "
+                f"meta_prune must be 'off', 'wep', 'wnp' or 'cnp' "
                 f"(got {self.cfg.meta_prune!r})"
+            )
+        if self.cfg.meta_prune == "cnp" and self.cfg.meta_cnp_k < 1:
+            raise ValueError(
+                f"meta_cnp_k must be >= 1 (got {self.cfg.meta_cnp_k})"
             )
         if self.cfg.meta_prune != "off" and not self.cfg.wide_pairs:
             raise ValueError(
@@ -217,6 +225,7 @@ class Runner:
                     pairs,
                     blocking.shared_band_count(cfg.n_bands),
                     scheme=cfg.meta_prune,
+                    k=cfg.meta_cnp_k,
                 )
 
             pairs = self._run_stage(manifest, result, "pruned_pairs", build_pruned)

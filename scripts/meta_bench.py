@@ -49,7 +49,7 @@ def main() -> None:
     labels.count()
 
     out: dict = {"n_base": n_base, "n_turns": n_turns, "cpus": cpus, "modes": {}}
-    for scheme in ("off", "wep", "wnp"):
+    for scheme in ("off", "wep", "wnp", "cnp"):
         for timed in (False, True):
             wd = tempfile.mkdtemp(prefix=f"metabench_{scheme}_")
             cfg = PipelineConfig(max_dist=40, meta_prune=scheme)
@@ -83,7 +83,7 @@ def main() -> None:
             shutil.rmtree(wd, ignore_errors=True)
 
     base = out["modes"]["off"]
-    for scheme in ("wep", "wnp"):
+    for scheme in ("wep", "wnp", "cnp"):
         mode = out["modes"][scheme]
         out[f"{scheme}_pair_reduction"] = round(
             1 - mode["pairs_scored"] / base["pairs_scored"], 3

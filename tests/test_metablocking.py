@@ -157,6 +157,54 @@ def test_blocking_graph_has_no_block_self_join(spark):
     assert len(joins) == 2, joins
 
 
+def test_cnp_prune_topk_union_semantics(spark):
+    """Union variant at k=1: the hub keeps only its best edge from its OWN
+    vote, but every spoke's sole edge is that spoke's top-1, so all edges
+    survive — until a spoke gains a stronger alternative, at which point
+    the weak hub edge loses at BOTH endpoints and dies."""
+    schema = "rec_id_a string, rec_id_b string, cbs long"
+    g = spark.createDataFrame(
+        [("h", "s1", 5), ("h", "s2", 3), ("h", "u", 1)], schema
+    )
+    kept = {(r["rec_id_a"], r["rec_id_b"]) for r in mb.cnp_prune(g, 1).collect()}
+    assert kept == {("h", "s1"), ("h", "s2"), ("h", "u")}
+    g2 = spark.createDataFrame(
+        [("h", "s1", 5), ("h", "s2", 3), ("h", "u", 1), ("u", "v", 7)], schema
+    )
+    kept2 = {(r["rec_id_a"], r["rec_id_b"]) for r in mb.cnp_prune(g2, 1).collect()}
+    assert kept2 == {("h", "s1"), ("h", "s2"), ("u", "v")}
+
+
+def test_cnp_prune_matches_bruteforce(spark):
+    """Differential vs a per-node (weight desc, other-id asc) top-k on a
+    random graph, plus the budget property the scheme exists for."""
+    rng = random.Random(7)
+    ids = [f"n{i:02d}" for i in range(20)]
+    edges = set()
+    while len(edges) < 60:
+        a, b = sorted(rng.sample(ids, 2))
+        edges.add((a, b))
+    rows = [(a, b, rng.randint(1, 5)) for a, b in sorted(edges)]
+    g = spark.createDataFrame(rows, "rec_id_a string, rec_id_b string, cbs long")
+    inc: dict[str, list] = {}
+    for a, b, w in rows:
+        inc.setdefault(a, []).append((w, b, (a, b)))
+        inc.setdefault(b, []).append((w, a, (a, b)))
+    for k in (1, 2, 3):
+        got = {
+            (r["rec_id_a"], r["rec_id_b"]) for r in mb.cnp_prune(g, k).collect()
+        }
+        exp = set()
+        for lst in inc.values():
+            exp |= {
+                t[2] for t in sorted(lst, key=lambda t: (-t[0], t[1]))[:k]
+            }
+        assert got == exp, k
+        assert len(got) <= k * len(ids)
+    with pytest.raises(ValueError):
+        mb.cnp_prune(g, 0)
+
+
 def test_shared_band_count_matches_hex_bands(spark):
     """blocking.shared_band_count (the codegen CBS weight over wide pairs)
     equals the agreeing-4-hex-char-band count of the two sig_hex strings."""
@@ -222,6 +270,12 @@ def test_runner_meta_prune_validation(spark, tmp_path):
             spark,
             str(tmp_path / "y"),
             PipelineConfig(meta_prune="wnp", wide_pairs=False),
+        )
+    with pytest.raises(ValueError, match="meta_cnp_k"):
+        Runner(
+            spark,
+            str(tmp_path / "z"),
+            PipelineConfig(meta_prune="cnp", meta_cnp_k=0),
         )
 
 
