@@ -39,6 +39,14 @@ Pruning schemes:
   gives a HARD per-record candidate budget — total surviving pairs <= k*n
   regardless of the weight distribution, which is the property a
   fixed-throughput scoring fleet actually provisions against.
+* CEP (cardinality edge pruning, :func:`cep_prune`) — keep the globally
+  best ~K edges: the GLOBAL budget (progressive/pay-as-you-go resolution:
+  score the K most promising pairs first, stop when the budget runs out).
+  Computed WITHOUT a global sort: for an integer weight the K-th-largest
+  weight comes from a per-weight histogram (one tiny aggregate — at most
+  |distinct weights| rows, e.g. <= n_bands for CBS), and the filter keeps
+  every edge at or above that threshold. Ties at the threshold are all
+  kept (deterministic; output may exceed K by the tie mass, never by more).
 
 Plan shape, all Catalyst, no UDF: dedupe (block, id) → per-block sorted id
 arrays (groupBy block) → in-array pair generation carrying the block size
@@ -198,23 +206,60 @@ def cnp_prune(
     return graph.join(keep, [a, b], "left_semi")
 
 
+def cep_prune(graph: DataFrame, budget: int, weight_col: str = "cbs") -> DataFrame:
+    """Cardinality Edge Pruning: keep the edges whose weight is >= the
+    ``budget``-th largest edge weight (all threshold ties kept, so the
+    output size is in [budget, budget + ties - 1] when the graph has at
+    least ``budget`` edges; smaller graphs pass through whole).
+
+    No global sort: the threshold is derived from a per-weight histogram —
+    a map-side-combinable count aggregate whose result has one row per
+    DISTINCT weight (for an integer evidence weight like CBS that is at
+    most n_bands rows), collected to the driver, cumulated, and pushed
+    back as a literal filter. The data-scale plan is scan -> filter, same
+    shape as a Bloom-prune (ops/sketch.py): the only full pass is the
+    histogram aggregate."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    hist = (
+        graph.groupBy(F.col(weight_col).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_w").desc())
+        .collect()
+    )
+    total = 0
+    threshold = None
+    for row in hist:
+        threshold = row["_w"]
+        total += row["_n"]
+        if total >= budget:
+            break
+    if threshold is None:  # empty graph
+        return graph
+    return graph.where(F.col(weight_col) >= F.lit(threshold))
+
+
 def prune_pairs(
     pairs: DataFrame,
     weight,
     scheme: str = "wnp",
     id_col: str = "conv_id",
     k: int = 10,
+    budget: int = 1_000_000,
 ) -> DataFrame:
     """Meta-prune an arbitrary (possibly WIDE) candidate-pair stream.
 
     ``weight`` is a Column evaluated against ``pairs`` (e.g.
     blocking.shared_band_count — the CBS weight as free codegen on wide
     pairs). The weighting and pruning run on a slim (id_a, id_b, weight)
-    projection and survivors re-attach with ONE pair-keyed semi-join, so
-    the wide payload (signature chunks, canon keys) never rides the
-    node-keyed pruning shuffles. scheme: "wep" | "wnp" | "cnp" (``k``
-    applies to cnp only — the per-record candidate budget)."""
+    projection and survivors re-attach with ONE pair-keyed semi-join
+    (CEP filters in place — no re-attach join at all), so the wide
+    payload (signature chunks, canon keys) never rides the node-keyed
+    pruning shuffles. scheme: "wep" | "wnp" | "cnp" (``k`` = the
+    per-record candidate budget) | "cep" (``budget`` = the global one)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
+    if scheme == "cep":
+        return cep_prune(pairs.withColumn("_w", weight), budget, "_w").drop("_w")
     slim = pairs.select(a, b, weight.alias("_w"))
     if scheme == "wep":
         kept = wep_prune(slim, "_w")

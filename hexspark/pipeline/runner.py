@@ -65,7 +65,9 @@ class PipelineConfig:
     # under "wep" (global-mean) or "wnp" (node-local-mean) edge pruning,
     # or "cnp" (top-meta_cnp_k edges per node — a HARD per-record
     # candidate budget, <= k*n pairs total regardless of the weight
-    # distribution). Cuts the quadratic scoring phase's input at
+    # distribution) or "cep" (the meta_cep_budget globally best edges —
+    # progressive / pay-as-you-go resolution; threshold ties all kept).
+    # Cuts the quadratic scoring phase's input at
     # near-zero recall cost; the pruned stream lands as its own resumable
     # stage table (pruned_pairs). Requires wide_pairs. Incremental folds
     # score their new-vs-all pairs UNPRUNED by design: a batch's
@@ -74,6 +76,7 @@ class PipelineConfig:
     # it can only add edges.
     meta_prune: str = "off"
     meta_cnp_k: int = 10
+    meta_cep_budget: int = 1_000_000
     # high-precision mode: cluster only on triangle-corroborated edges and
     # materialize the uncorroborated (bridge) edges as a review-queue stage
     # table. Plain transitive closure is maximally fragile — ONE false
@@ -109,14 +112,18 @@ class Runner:
                 "fs_tf_adjust applies only to scoring_mode='fs' "
                 f"(got scoring_mode={self.cfg.scoring_mode!r})"
             )
-        if self.cfg.meta_prune not in ("off", "wep", "wnp", "cnp"):
+        if self.cfg.meta_prune not in ("off", "wep", "wnp", "cnp", "cep"):
             raise ValueError(
-                f"meta_prune must be 'off', 'wep', 'wnp' or 'cnp' "
+                f"meta_prune must be 'off', 'wep', 'wnp', 'cnp' or 'cep' "
                 f"(got {self.cfg.meta_prune!r})"
             )
         if self.cfg.meta_prune == "cnp" and self.cfg.meta_cnp_k < 1:
             raise ValueError(
                 f"meta_cnp_k must be >= 1 (got {self.cfg.meta_cnp_k})"
+            )
+        if self.cfg.meta_prune == "cep" and self.cfg.meta_cep_budget < 1:
+            raise ValueError(
+                f"meta_cep_budget must be >= 1 (got {self.cfg.meta_cep_budget})"
             )
         if self.cfg.meta_prune != "off" and not self.cfg.wide_pairs:
             raise ValueError(
@@ -226,6 +233,7 @@ class Runner:
                     blocking.shared_band_count(cfg.n_bands),
                     scheme=cfg.meta_prune,
                     k=cfg.meta_cnp_k,
+                    budget=cfg.meta_cep_budget,
                 )
 
             pairs = self._run_stage(manifest, result, "pruned_pairs", build_pruned)

@@ -58,19 +58,26 @@ def main() -> None:
              "folds reuse them",
     )
     ap.add_argument(
-        "--meta-prune", choices=("off", "wep", "wnp", "cnp"), default="off",
+        "--meta-prune", choices=("off", "wep", "wnp", "cnp", "cep"),
+        default="off",
         help="meta-blocking: prune the candidate-pair stream by blocking-"
              "graph evidence (CBS = agreeing-band count, free codegen) "
              "before scoring; 'wep' keeps edges >= the global mean weight, "
              "'wnp' >= either endpoint's local mean (recall-safer), 'cnp' "
-             "each node's top --meta-cnp-k edges (hard per-record budget). "
-             "The pruned stream is its own resumable stage table "
-             "(pruned_pairs)",
+             "each node's top --meta-cnp-k edges (hard per-record budget), "
+             "'cep' the --meta-cep-budget globally best edges (progressive "
+             "resolution). The pruned stream is its own resumable stage "
+             "table (pruned_pairs)",
     )
     ap.add_argument(
         "--meta-cnp-k", type=int, default=10,
         help="cnp only: per-record candidate budget (top-k incident edges "
              "per node survive; total pairs scored <= k * n_records)",
+    )
+    ap.add_argument(
+        "--meta-cep-budget", type=int, default=1_000_000,
+        help="cep only: global candidate budget (the ~K best-evidence "
+             "pairs survive; threshold ties all kept)",
     )
     ap.add_argument(
         "--robust", action="store_true",
@@ -123,6 +130,7 @@ def main() -> None:
         fs_tf_adjust=args.fs_tf_adjust,
         meta_prune=args.meta_prune,
         meta_cnp_k=args.meta_cnp_k,
+        meta_cep_budget=args.meta_cep_budget,
         robust=args.robust,
     )
     runner = Runner(spark, args.workdir, cfg)

@@ -205,6 +205,25 @@ def test_cnp_prune_matches_bruteforce(spark):
         mb.cnp_prune(g, 0)
 
 
+def test_cep_prune_global_budget_with_ties(spark):
+    """Histogram-threshold CEP: budget-th largest weight becomes the keep
+    threshold, ties at the threshold all survive, small graphs pass
+    through whole, empty graphs stay empty."""
+    schema = "rec_id_a string, rec_id_b string, cbs long"
+    rows = [("a", "b", 5), ("a", "c", 4), ("b", "c", 4), ("c", "d", 2), ("d", "e", 1)]
+    g = spark.createDataFrame(rows, schema)
+    top1 = {
+        (r["rec_id_a"], r["rec_id_b"]) for r in mb.cep_prune(g, 1).collect()
+    }
+    assert top1 == {("a", "b")}
+    assert mb.cep_prune(g, 2).count() == 3  # threshold 4, both ties kept
+    assert mb.cep_prune(g, 3).count() == 3
+    assert mb.cep_prune(g, 10).count() == 5  # budget >= |E|: whole graph
+    assert mb.cep_prune(g.where("cbs > 99"), 3).count() == 0
+    with pytest.raises(ValueError):
+        mb.cep_prune(g, 0)
+
+
 def test_shared_band_count_matches_hex_bands(spark):
     """blocking.shared_band_count (the codegen CBS weight over wide pairs)
     equals the agreeing-4-hex-char-band count of the two sig_hex strings."""
@@ -276,6 +295,12 @@ def test_runner_meta_prune_validation(spark, tmp_path):
             spark,
             str(tmp_path / "z"),
             PipelineConfig(meta_prune="cnp", meta_cnp_k=0),
+        )
+    with pytest.raises(ValueError, match="meta_cep_budget"):
+        Runner(
+            spark,
+            str(tmp_path / "w"),
+            PipelineConfig(meta_prune="cep", meta_cep_budget=0),
         )
 
 
