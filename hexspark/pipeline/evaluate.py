@@ -407,3 +407,100 @@ def pairwise_f1(
         "fp": float(row["fp"]),
         "fn": float(row["fn"]),
     }
+
+
+def threshold_sweep_df(
+    scored_pairs: DataFrame,
+    labeled_pairs: DataFrame,
+    thresholds,
+    score_col: str = "score",
+) -> DataFrame:
+    """EDGE-level decision-threshold sweep: precision/recall/F1 at EVERY
+    threshold in one pass over the pair stream — the tool that picks
+    ``max_dist`` / ``min_score`` / ``fs_threshold`` empirically instead of
+    by folklore. Rerunning the pipeline per candidate threshold costs a
+    full scoring pass each; this costs one.
+
+    Semantics: predicted(t) = scored pairs with score >= t (pass a negated
+    distance to sweep a "<= dist" gate); positives = labeled is_match
+    pairs. A true pair absent from scored_pairs (e.g. lost at blocking)
+    counts as fn at every t, so the sweep reflects end-to-end recall, not
+    just the scorer's. scored_pairs must be unique per pair key.
+
+    Plan: one pair-keyed left join of labels onto scored pairs, each pair
+    bucketed to the HIGHEST threshold <= its score (codegen when-chain),
+    ONE map-side-combinable count aggregate to (bucket, n_scored, n_true)
+    — at most len(thresholds)+1 rows — then a descending cumulative window
+    and the metric arithmetic on that tiny table (the single-partition
+    window sees <= len(thresholds) rows, never data). Output: one row per
+    threshold (threshold, tp, fp, fn, precision, recall, f1), ascending.
+    """
+    ts = sorted({float(t) for t in thresholds})
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    from pyspark.sql import Window
+
+    labels = (
+        labeled_pairs.where(F.col("is_match"))
+        .select("conv_id_a", "conv_id_b")
+        .withColumn("_pos", F.lit(1))
+    )
+    sp = scored_pairs.select(
+        "conv_id_a", "conv_id_b", F.col(score_col).alias("_s")
+    )
+    joined = sp.join(labels, ["conv_id_a", "conv_id_b"], "left")
+    bucket = F.when(F.col("_s") >= ts[-1], F.lit(len(ts) - 1))
+    for i in range(len(ts) - 2, -1, -1):
+        bucket = bucket.when(F.col("_s") >= ts[i], F.lit(i))
+    bucket = bucket.otherwise(F.lit(-1))
+    hist = (
+        joined.groupBy(bucket.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.col("_pos")).alias("_t"),
+        )
+        .where(F.col("_b") >= 0)  # below every threshold: predicted nowhere
+    )
+    spark = scored_pairs.sparkSession
+    thr = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "_b int, threshold double"
+    )
+    total_true = labels.agg(F.count(F.lit(1)).alias("_total_true"))
+    w = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_t = (
+        thr.join(hist, "_b", "left")
+        .select(
+            "_b",
+            "threshold",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+            F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+        )
+        .withColumn("_pred", F.sum("_n").over(w))
+        .withColumn("tp", F.sum("_t").over(w))
+        .join(F.broadcast(total_true))
+    )
+    tp = F.col("tp")
+    fp = (F.col("_pred") - tp).alias("fp")
+    fn = (F.col("_total_true") - tp).alias("fn")
+    out = per_t.select("threshold", tp, fp, fn)
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    ).otherwise(F.lit(1.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    ).otherwise(F.lit(1.0))
+    return (
+        out.withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("threshold")
+    )
