@@ -87,6 +87,17 @@ class PipelineConfig:
     # drift guard refuses to mix robust and default stage outputs in one
     # workdir.
     robust: bool = False
+    # post-clustering repair (pipeline/repair.py): evict members whose
+    # average within-cluster edge score < repair_min_avg (the glue nodes a
+    # single false edge wires in), re-cluster the surviving within-edges,
+    # and land the evicted members as a review-queue stage table
+    # (evicted_nodes), mirroring robust mode's bridge queue. The raw
+    # transitive closure is kept as its own stage (clusters_raw) so the
+    # repair threshold can be re-swept without re-running CC. None = off.
+    # Composes with robust: cohesion is still measured over the full
+    # scored edge set, so a corroborated-but-low-scoring member still
+    # lands in the queue. Batch mode only — see run_incremental.
+    repair_min_avg: float | None = None
 
 
 @dataclass
@@ -293,6 +304,10 @@ class Runner:
 
         edges = self._run_stage(manifest, result, "edges", build_edges)
 
+        # with repair on, the raw transitive closure lands as clusters_raw
+        # and "clusters" becomes the repaired partition two stages later
+        cc_stage = "clusters_raw" if cfg.repair_min_avg is not None else "clusters"
+
         if cfg.robust:
             from hexspark.ops import graph
 
@@ -323,15 +338,33 @@ class Runner:
                 result.cc_rounds = rounds
                 return clustering.with_singletons(cc, sigs.select("conv_id"))
 
-            self._run_stage(manifest, result, "clusters", build_clusters_robust)
-            return result
+            raw = self._run_stage(manifest, result, cc_stage, build_clusters_robust)
+        else:
 
-        def build_clusters() -> DataFrame:
-            cc, rounds = clustering.connected_components(edges, max_iter=cfg.cc_max_iter)
-            result.cc_rounds = rounds
-            return clustering.with_singletons(cc, sigs.select("conv_id"))
+            def build_clusters() -> DataFrame:
+                cc, rounds = clustering.connected_components(edges, max_iter=cfg.cc_max_iter)
+                result.cc_rounds = rounds
+                return clustering.with_singletons(cc, sigs.select("conv_id"))
 
-        self._run_stage(manifest, result, "clusters", build_clusters)
+            raw = self._run_stage(manifest, result, cc_stage, build_clusters)
+
+        if cfg.repair_min_avg is not None:
+            from . import repair
+
+            evicted = self._run_stage(
+                manifest,
+                result,
+                "evicted_nodes",
+                lambda: repair.evicted_nodes(raw, edges, cfg.repair_min_avg),
+            )
+            self._run_stage(
+                manifest,
+                result,
+                "clusters",
+                lambda: repair.reclustered(
+                    raw, edges, evicted, cc_max_iter=cfg.cc_max_iter
+                ),
+            )
         return result
 
     def run_incremental(self, new_transcripts: DataFrame) -> PipelineResult:
@@ -347,6 +380,20 @@ class Runner:
         to the edges table, and the manifest row counts are refreshed."""
         from . import incremental
 
+        if self.cfg.repair_min_avg is not None:
+            # eviction is NOT monotone under edge appends: a new batch edge
+            # can raise an evicted node's within-cluster average back over
+            # the threshold (re-admission) or drag a kept node's under it —
+            # folding into a repaired partition would freeze those stale
+            # decisions. Unlike triangles (append-only, so corroboration
+            # only grows), there is no sound batch-proportional fold here;
+            # re-run the batch pipeline, whose clusters_raw/evicted_nodes
+            # stages make the re-repair itself cheap to resume.
+            raise ValueError(
+                "run_incremental does not support repair_min_avg: eviction "
+                "is not monotone under new edges (re-admission is possible)."
+                " Re-run the batch pipeline to re-repair."
+            )
         manifest = self._manifest()
         required = (
             ("signatures", "clusters")

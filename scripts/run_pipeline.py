@@ -10,6 +10,8 @@
         [--meta-prune off|wep|wnp]  # meta-blocking candidate prune pre-scoring
         [--robust]        # cluster on triangle-corroborated edges only,
                           # queue bridge edges for review (bridge_edges table)
+        [--repair-min-avg 0.8]  # post-hoc precision pass: evict low-cohesion
+                          # members, re-cluster (evicted_nodes review table)
         [--incremental]   # fold --input as a NEW batch into a completed run
 
 Master/executors come from spark-submit. Every stage materializes to the
@@ -86,6 +88,13 @@ def main() -> None:
              "bridge_edges review-queue stage table",
     )
     ap.add_argument(
+        "--repair-min-avg", type=float, default=None,
+        help="post-clustering repair: evict members whose average within-"
+             "cluster edge score falls below this, re-cluster survivors; "
+             "raw closure kept as clusters_raw, evicted members land in "
+             "the evicted_nodes review-queue stage table (batch mode only)",
+    )
+    ap.add_argument(
         "--incremental", action="store_true",
         help="treat --input as a NEW batch and fold it into the workdir's "
              "completed run (fingerprints only the batch, never re-scores "
@@ -132,6 +141,7 @@ def main() -> None:
         meta_cnp_k=args.meta_cnp_k,
         meta_cep_budget=args.meta_cep_budget,
         robust=args.robust,
+        repair_min_avg=args.repair_min_avg,
     )
     runner = Runner(spark, args.workdir, cfg)
     result = (
