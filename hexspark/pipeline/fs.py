@@ -182,6 +182,172 @@ def estimate_mu(
     )
 
 
+class LevelParams(NamedTuple):
+    """Multi-level (ordinal) comparison parameters: one probability per
+    LEVEL instead of one per boolean outcome. ``m[l]`` = P(level = l |
+    match), ``u[l]`` = P(level = l | non-match); both tuples sum to ~1
+    over the field's levels. Level 0 is conventionally "disagree", the
+    top level "exact agree", with graded similarity between — e.g. a
+    3-level signature-chunk comparison (exact / within chunk_dist /
+    beyond) extracts more evidence than collapsing exact and near into
+    one boolean, because a true near-dup's chunks are mostly EXACT while
+    a borderline impostor's merely NEAR."""
+
+    m: tuple[float, ...]
+    u: tuple[float, ...]
+
+
+def _validate_levels(params: dict[str, LevelParams]) -> None:
+    for name, lp in params.items():
+        if len(lp.m) != len(lp.u) or len(lp.m) < 2:
+            raise ValueError(
+                f"field {name!r}: m and u need one entry per level "
+                f"(>= 2 levels), got {len(lp.m)} and {len(lp.u)}"
+            )
+        for probs, tag in ((lp.m, "m"), (lp.u, "u")):
+            if any(not (0.0 < x < 1.0) for x in probs):
+                raise ValueError(
+                    f"field {name!r}: every {tag}[l] must be strictly "
+                    f"inside (0, 1), got {probs}"
+                )
+
+
+def level_weight(
+    pairs: DataFrame,
+    params: dict[str, LevelParams],
+    weight_col: str = "fs_weight",
+) -> DataFrame:
+    """Summed Fellegi-Sunter weight over MULTI-LEVEL comparison columns:
+    each field is a small-int level column (0..L-1; NULL = field missing)
+    and contributes log2(m[l]/u[l]) at its observed level, 0 when NULL.
+    Same scale shape as :func:`match_weight` — the per-level weights fold
+    to Python-float literals inside ONE codegen CASE sum, a pure
+    projection on the pair stream."""
+    _validate_levels(params)
+    total: Column | None = None
+    for col, lp in params.items():
+        term = F.when(F.col(col).isNull(), F.lit(0.0))
+        for lvl, (ml, ul) in enumerate(zip(lp.m, lp.u)):
+            term = term.when(F.col(col) == lvl, F.lit(math.log2(ml / ul)))
+        # out-of-range level = caller bug; surface as NULL weight rather
+        # than silently scoring 0 (ANSI mode will not mask it either)
+        total = term if total is None else total + term
+    assert total is not None, "params must not be empty"
+    return pairs.withColumn(weight_col, total)
+
+
+def estimate_mu_levels(
+    pairs: DataFrame,
+    level_cols: dict[str, int],
+    p_init: float = 0.1,
+    n_iter: int = 50,
+    eps: float = 1e-6,
+) -> tuple[dict[str, LevelParams], float]:
+    """EM estimation of per-field per-LEVEL (m, u) and prevalence p from
+    unlabeled pairs, generalizing :func:`estimate_mu` from boolean to
+    categorical emissions (conditional independence across fields).
+
+    ``level_cols`` maps column name -> number of levels L (values 0..L-1;
+    NULL excluded from that field's statistics, contributing only its
+    observed fields — same missing-at-random treatment as the boolean
+    fit). Distributed cost is unchanged: ONE pattern-count aggregation
+    (at most prod(L_j)+null-combination rows — tiny for the 2-4 fields /
+    2-4 levels this models), then driver-side EM over the count table.
+
+    Init breaks the match/non-match label symmetry by seeding m to favor
+    HIGH levels and u to favor LOW levels (matches mostly agree exactly;
+    random pairs mostly disagree) — the categorical analogue of
+    m_init=0.9/u_init=0.1.
+    """
+    if not level_cols:
+        raise ValueError("level_cols must not be empty")
+    for c, n_levels in level_cols.items():
+        if n_levels < 2:
+            raise ValueError(f"field {c!r}: need >= 2 levels, got {n_levels}")
+    names = list(level_cols)
+    counts = (
+        pairs.groupBy(*[F.col(c).cast("int").alias(c) for c in names])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    patterns = [([row[c] for c in names], float(row["_n"])) for row in counts]
+    for gamma, _ in patterns:
+        for j, g in enumerate(gamma):
+            if g is not None and not (0 <= g < level_cols[names[j]]):
+                raise ValueError(
+                    f"field {names[j]!r}: observed level {g} outside "
+                    f"0..{level_cols[names[j]] - 1}"
+                )
+    k = len(names)
+    sizes = [level_cols[c] for c in names]
+
+    def _seed(size: int, rising: bool) -> list[float]:
+        # geometric ramp across levels, normalized; rising=True puts the
+        # mass on the top (exact) level
+        raw = [2.0**i for i in range(size)]
+        if not rising:
+            raw.reverse()
+        s = sum(raw)
+        return [x / s for x in raw]
+
+    m = [_seed(sizes[j], rising=True) for j in range(k)]
+    u = [_seed(sizes[j], rising=False) for j in range(k)]
+    p = p_init
+    for _ in range(n_iter):
+        m_new = [[0.0] * sizes[j] for j in range(k)]
+        u_new = [[0.0] * sizes[j] for j in range(k)]
+        m_den = [0.0] * k
+        u_den = [0.0] * k
+        p_num = 0.0
+        total = 0.0
+        for gamma, n in patterns:
+            lm, lu = p, 1.0 - p
+            for j, g in enumerate(gamma):
+                if g is None:
+                    continue
+                lm *= m[j][g]
+                lu *= u[j][g]
+            w = lm / (lm + lu) if (lm + lu) > 0 else 0.0
+            p_num += w * n
+            total += n
+            for j, g in enumerate(gamma):
+                if g is None:
+                    continue
+                m_den[j] += w * n
+                u_den[j] += (1.0 - w) * n
+                m_new[j][g] += w * n
+                u_new[j][g] += (1.0 - w) * n
+        p_next = p_num / total if total else p_init
+
+        def _norm(new_j: list[float], den: float, old_j: list[float]) -> list[float]:
+            if not den:
+                return old_j
+            clipped = [min(max(x / den, eps), 1 - eps) for x in new_j]
+            s = sum(clipped)
+            return [x / s for x in clipped]
+
+        m_next = [_norm(m_new[j], m_den[j], m[j]) for j in range(k)]
+        u_next = [_norm(u_new[j], u_den[j], u[j]) for j in range(k)]
+        delta = max(
+            abs(p_next - p),
+            max(
+                abs(a - b)
+                for j in range(k)
+                for a, b in zip(m_next[j] + u_next[j], m[j] + u[j])
+            ),
+        )
+        p, m, u = p_next, m_next, u_next
+        if delta < eps:
+            break
+    return (
+        {
+            c: LevelParams(m=tuple(m[j]), u=tuple(u[j]))
+            for j, c in enumerate(names)
+        },
+        p,
+    )
+
+
 def term_frequencies(records: DataFrame, col: str) -> DataFrame:
     """Relative frequency of each non-null value of ``col``:
     (value, tf_cnt, tf_n, tf) at distinct-value grain, tf = tf_cnt / tf_n.
@@ -435,6 +601,122 @@ def score_wide_fs(
         )
     return weighted.where(F.col("fs_weight") >= F.lit(threshold)).select(
         "conv_id_a", "conv_id_b", "hamming_dist", "fs_weight"
+    )
+
+
+def wide_pair_levels(
+    pairs_wide: DataFrame,
+    chunk_dist: int = DEFAULT_CHUNK_DIST,
+    canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Multi-level comparison fields over the wide candidate pairs — the
+    ordinal refinement of :func:`wide_pair_agreements`. Every field is a
+    3-level int (all codegen, no UDF, no shuffle):
+
+    * ``lvl_c{i}`` — per-chunk signature comparison: 2 = chunks EXACTLY
+      equal (dist 0), 1 = within ``chunk_dist`` (the reference's A3
+      predicate, python_hexhamming.cc:62-64), 0 = beyond. A true near-dup
+      leaves most chunks exactly equal; a borderline impostor at the same
+      global distance shows merely-near chunks — a distinction the
+      boolean model throws away.
+    * ``lvl_canon`` — canonical-key comparison: 2 = first
+      ``canon_prefix_len`` chars equal, 1 = only the first half agrees,
+      0 = neither.
+
+    Returns (pairs with level columns + hamming_dist, {field: n_levels}).
+    """
+    from .scoring import N_CHUNKS, hamming_jvm
+
+    cols = []
+    levels: dict[str, int] = {}
+    for i in range(N_CHUNKS):
+        nm = f"lvl_c{i}"
+        d = F.bit_count(F.col(f"c{i}_a").bitwiseXOR(F.col(f"c{i}_b")))
+        cols.append(
+            F.when(d == 0, F.lit(2))
+            .when(d <= F.lit(chunk_dist), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(nm)
+        )
+        levels[nm] = 3
+    half = max(1, canon_prefix_len // 2)
+    cols.append(
+        F.when(
+            F.substring("canon_a", 1, canon_prefix_len)
+            == F.substring("canon_b", 1, canon_prefix_len),
+            F.lit(2),
+        )
+        .when(
+            F.substring("canon_a", 1, half) == F.substring("canon_b", 1, half),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("lvl_canon")
+    )
+    levels["lvl_canon"] = 3
+    return (
+        pairs_wide.withColumn("hamming_dist", hamming_jvm()).select(
+            "conv_id_a", "conv_id_b", "hamming_dist", *cols
+        ),
+        levels,
+    )
+
+
+def fit_wide_levels(
+    pairs_wide: DataFrame,
+    chunk_dist: int = DEFAULT_CHUNK_DIST,
+    canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+) -> tuple[dict[str, LevelParams], float]:
+    """EM fit of the multi-level wide-pair model from unlabeled candidate
+    pairs — one pattern-count aggregation (<= 3^9 rows whatever the pair
+    count), then driver EM (estimate_mu_levels)."""
+    with_levels, levels = wide_pair_levels(
+        pairs_wide, chunk_dist=chunk_dist, canon_prefix_len=canon_prefix_len
+    )
+    return estimate_mu_levels(with_levels, levels)
+
+
+def score_wide_fs_levels(
+    pairs_wide: DataFrame,
+    params: dict[str, LevelParams],
+    threshold: float,
+    chunk_dist: int = DEFAULT_CHUNK_DIST,
+    canon_prefix_len: int = DEFAULT_CANON_PREFIX,
+) -> DataFrame:
+    """FS scoring + gate under the multi-level model: level fields →
+    summed per-level log2-likelihood weight → ``fs_weight >= threshold``.
+    One codegen projection + filter, no Python boundary (same plan shape
+    as :func:`score_wide_fs`).
+
+    Output edges(conv_id_a, conv_id_b, hamming_dist, fs_weight)."""
+    with_levels, levels = wide_pair_levels(
+        pairs_wide, chunk_dist=chunk_dist, canon_prefix_len=canon_prefix_len
+    )
+    missing = set(levels) - set(params)
+    if missing:
+        raise ValueError(f"params missing fields: {sorted(missing)}")
+    weighted = level_weight(with_levels, {n: params[n] for n in levels})
+    return weighted.where(F.col("fs_weight") >= F.lit(threshold)).select(
+        "conv_id_a", "conv_id_b", "hamming_dist", "fs_weight"
+    )
+
+
+def level_params_to_json(params: dict[str, LevelParams], p: float) -> dict:
+    """Manifest-serializable multi-level model (levels key marks the
+    format so a reader can't confuse it with the boolean model)."""
+    return {
+        "p": p,
+        "levels": {k: [list(lp.m), list(lp.u)] for k, lp in params.items()},
+    }
+
+
+def level_params_from_json(d: dict) -> tuple[dict[str, LevelParams], float]:
+    return (
+        {
+            k: LevelParams(m=tuple(v[0]), u=tuple(v[1]))
+            for k, v in d["levels"].items()
+        },
+        d["p"],
     )
 
 

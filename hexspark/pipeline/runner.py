@@ -45,6 +45,12 @@ class PipelineConfig:
     # on the run's own UNLABELED candidate pairs, edges gated on the
     # posterior-0.5 weight. The fitted model is recorded in the manifest
     # and reused by incremental batches (a tiny batch must not refit).
+    # "fs_levels" = the multi-level (ordinal) FS variant: 3-level
+    # comparisons (exact / within chunk_dist / beyond per signature chunk;
+    # full / half / no canon-prefix agreement) with per-level (m, u)
+    # fitted by the categorical EM — keeps the exact-vs-merely-near
+    # evidence the boolean fields collapse, separating concentrated from
+    # dispersed difference even when the boolean agreement PATTERNS tie.
     scoring_mode: str = "blend"
     fs_chunk_dist: int = 4
     fs_canon_prefix_len: int = 16
@@ -118,6 +124,11 @@ class Runner:
         self.spark = spark
         self.io = TableIO(spark, workdir)
         self.cfg = config or PipelineConfig()
+        if self.cfg.scoring_mode not in ("blend", "fs", "fs_levels"):
+            raise ValueError(
+                "scoring_mode must be 'blend', 'fs' or 'fs_levels' "
+                f"(got {self.cfg.scoring_mode!r})"
+            )
         if self.cfg.fs_tf_adjust and self.cfg.scoring_mode != "fs":
             raise ValueError(
                 "fs_tf_adjust applies only to scoring_mode='fs' "
@@ -264,6 +275,34 @@ class Runner:
             p = pairs
             if cfg.pair_partitions:
                 p = p.repartition(cfg.pair_partitions)
+            if cfg.scoring_mode == "fs_levels":
+                # same fit-on-this-run's-pairs + manifest-recorded-model
+                # contract as fs mode, with the categorical (per-level) EM
+                if not cfg.wide_pairs:
+                    raise ValueError("scoring_mode='fs_levels' requires wide_pairs=True")
+                from . import fs
+
+                params, prev = fs.fit_wide_levels(
+                    p,
+                    chunk_dist=cfg.fs_chunk_dist,
+                    canon_prefix_len=cfg.fs_canon_prefix_len,
+                )
+                thr = (
+                    cfg.fs_threshold
+                    if cfg.fs_threshold is not None
+                    else fs.default_threshold(prev)
+                )
+                manifest["fs_model"] = {
+                    **fs.level_params_to_json(params, prev),
+                    "threshold": thr,
+                }
+                return fs.score_wide_fs_levels(
+                    p,
+                    params,
+                    thr,
+                    chunk_dist=cfg.fs_chunk_dist,
+                    canon_prefix_len=cfg.fs_canon_prefix_len,
+                )
             if cfg.scoring_mode == "fs":
                 # fit on THIS run's pairs (one pattern-count aggregation
                 # over the materialized stage table + driver EM), record
@@ -433,7 +472,29 @@ class Runner:
         result = PipelineResult(run_id=manifest["run_id"])
         timer = StageTimer()
         score_fn = None
-        if cfg.scoring_mode == "fs":
+        if cfg.scoring_mode == "fs_levels":
+            # same no-thin-batch-refit rule as fs mode: score the batch
+            # under the model fitted on the prior full run
+            from . import fs
+
+            model = manifest.get("fs_model")
+            if model is None:
+                raise ValueError(
+                    "scoring_mode='fs_levels' requires a fitted model in "
+                    "the manifest (produced by the prior batch run's edges "
+                    "stage); this workdir has none"
+                )
+            lvl_params, _prev = fs.level_params_from_json(model)
+
+            def score_fn(p):
+                return fs.score_wide_fs_levels(
+                    p,
+                    lvl_params,
+                    model["threshold"],
+                    chunk_dist=cfg.fs_chunk_dist,
+                    canon_prefix_len=cfg.fs_canon_prefix_len,
+                )
+        elif cfg.scoring_mode == "fs":
             # score the batch under the model FITTED ON THE PRIOR RUN (a
             # small batch must not refit — its pair sample is too thin and
             # a drifted model would mix decision boundaries in one edges

@@ -5,7 +5,8 @@
         --input  <path or table of transcripts(conv_id,turn_idx,role,text,tool,ts)> \\
         --workdir <stage-table root (Iceberg namespace or path)> \\
         [--max-dist 20] [--n-bands 16] [--max-block 2000] [--min-score 0.0]
-        [--scoring-mode blend|fs]  # fs = EM-calibrated Fellegi-Sunter gate
+        [--scoring-mode blend|fs|fs_levels]  # fs = EM-calibrated
+                          # Fellegi-Sunter gate; fs_levels = multi-level FS
         [--fs-tf-adjust]  # fs: term-frequency-adjust the canon field
         [--meta-prune off|wep|wnp]  # meta-blocking candidate prune pre-scoring
         [--robust]        # cluster on triangle-corroborated edges only,
@@ -40,11 +41,15 @@ def main() -> None:
     ap.add_argument("--min-score", type=float, default=0.0)
     ap.add_argument("--alpha", type=float, default=0.75)
     ap.add_argument(
-        "--scoring-mode", choices=("blend", "fs"), default="blend",
+        "--scoring-mode", choices=("blend", "fs", "fs_levels"), default="blend",
         help="'blend' = fixed hamming+Jaro-Winkler alpha blend gated on "
              "max-dist; 'fs' = Fellegi-Sunter weights with (m, u, p) "
              "EM-fitted on this run's own unlabeled candidate pairs "
-             "(model recorded in the manifest; incremental folds reuse it)",
+             "(model recorded in the manifest; incremental folds reuse it); "
+             "'fs_levels' = multi-level FS: 3-level exact/near/disagree "
+             "comparisons with per-level (m, u) from the categorical EM — "
+             "separates concentrated from dispersed difference even when "
+             "boolean agreement patterns tie",
     )
     ap.add_argument(
         "--fs-threshold", type=float, default=None,
