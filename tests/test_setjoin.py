@@ -131,3 +131,113 @@ def test_no_cartesian_in_plan(spark, docs_df):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Measure family (prefix_sim_join): cosine / dice / overlap
+# ---------------------------------------------------------------------------
+
+
+def _brute_sim(rows: dict[int, str], threshold: float, measure: str):
+    out = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        sa, sb = _tokset(rows[a]), _tokset(rows[b])
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if measure == "jaccard":
+            sim = inter / (len(sa) + len(sb) - inter)
+        elif measure == "cosine":
+            sim = inter / math.sqrt(len(sa) * len(sb))
+        elif measure == "dice":
+            sim = 2 * inter / (len(sa) + len(sb))
+        else:
+            sim = float(inter)
+        if sim >= threshold:
+            out[(a, b)] = (inter, len(sa), len(sb), sim)
+    return out
+
+
+@pytest.mark.parametrize(
+    "measure,thresholds",
+    [
+        ("cosine", (0.3, 0.5, 0.8, 1.0)),
+        ("dice", (0.3, 0.5, 0.8, 1.0)),
+        ("overlap", (1, 2, 4)),
+    ],
+)
+def test_prefix_sim_matches_brute_force(spark, docs_df, measure, thresholds):
+    from hexspark.ops.setjoin import prefix_sim_join
+
+    for threshold in thresholds:
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): (
+                r["inter"], r["size_a"], r["size_b"], r[measure],
+            )
+            for r in prefix_sim_join(
+                docs_df, "doc_id", F.col("text"), threshold, measure
+            ).collect()
+        }
+        want = _brute_sim(_DOCS, threshold, measure)
+        assert set(got) == set(want), (measure, threshold)
+        for k, (i, sa, sb, s) in want.items():
+            gi, gsa, gsb, gs = got[k]
+            assert (gi, gsa, gsb) == (i, sa, sb), (measure, threshold, k)
+            assert gs == pytest.approx(s), (measure, threshold, k)
+
+
+def test_prefix_sim_randomized_exactness_all_measures(spark):
+    """Random token sets, exact-boundary ties likely; every measure's
+    output must equal the brute force at every threshold (the prefix bound
+    is measure-specific — a too-short prefix silently drops pairs, which
+    is exactly what this sweeps for)."""
+    from hexspark.ops.setjoin import prefix_sim_join
+
+    rng = random.Random(0xC05)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = {
+        i: " ".join(rng.sample(vocab, rng.randint(1, 12))) for i in range(60)
+    }
+    df = spark.createDataFrame(
+        list(rows.items()), "doc_id long, text string"
+    ).repartition(8)
+    cases = [
+        ("cosine", 0.4), ("cosine", 2 / 3), ("dice", 0.5), ("dice", 0.75),
+        ("overlap", 2), ("overlap", 3),
+    ]
+    for measure, threshold in cases:
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in prefix_sim_join(
+                df, "doc_id", F.col("text"), threshold, measure
+            ).collect()
+        }
+        assert got == set(_brute_sim(rows, threshold, measure)), (measure, threshold)
+
+
+def test_cosine_is_length_forgiving_vs_jaccard(spark):
+    """The reason cosine is in the family: a 3-token record fully contained
+    in a 12-token record scores 3/12=0.25 Jaccard but 3/6=0.5 cosine —
+    asymmetric-length near-dups survive a 0.5 cosine gate that a 0.5
+    Jaccard gate drops."""
+    from hexspark.ops.setjoin import prefix_sim_join
+
+    rows = {0: "alpha beta gamma", 1: " ".join(["alpha", "beta", "gamma"] + [f"pad{i}" for i in range(9)])}
+    df = spark.createDataFrame(list(rows.items()), "doc_id long, text string")
+    cos = prefix_sim_join(df, "doc_id", F.col("text"), 0.5, "cosine").collect()
+    jac = prefix_sim_join(df, "doc_id", F.col("text"), 0.5, "jaccard").collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in cos] == [(0, 1)]
+    assert jac == []
+
+
+def test_prefix_sim_validation(spark, docs_df):
+    from hexspark.ops.setjoin import prefix_sim_join
+
+    with pytest.raises(ValueError, match="measure"):
+        prefix_sim_join(docs_df, "doc_id", F.col("text"), 0.5, "euclid")
+    with pytest.raises(ValueError, match="count"):
+        prefix_sim_join(docs_df, "doc_id", F.col("text"), 0.5, "overlap")
+    with pytest.raises(ValueError, match="count"):
+        prefix_sim_join(docs_df, "doc_id", F.col("text"), 0, "overlap")
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_sim_join(docs_df, "doc_id", F.col("text"), 1.5, "cosine")
