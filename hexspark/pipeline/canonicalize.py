@@ -90,3 +90,83 @@ def fuse_attributes(
         )
         out = out.join(best, "cluster_id", "left")
     return out
+
+
+def representative_signature(
+    clusters: DataFrame, signatures: DataFrame
+) -> DataFrame:
+    """Per-cluster REPRESENTATIVE SimHash: the bitwise majority vote over
+    the members' 256-bit signatures — the signature-level analogue of
+    attribute fusion, and the thing that makes cluster-level probing
+    sublinear: new items can be screened against one representative per
+    entity instead of every member (the 1-vs-many probe of B11 pointed at
+    clusters instead of records).
+
+    Majority is per bit; ties (exactly half the members set the bit) go to
+    0, mirroring the SimHash kernel's own ``sums > 0`` vote
+    (kernels.simhash256_from_token_hashes). For a singleton cluster the
+    representative IS the member signature; more generally the
+    representative minimizes the summed hamming distance to the members
+    (per-bit majority is the L1 medoid of the hamming cube), so
+    dist(rep, member) <= max pairwise dist within the cluster.
+
+    Scale shape — NO grouped-map UDF, so one mega-cluster cannot pin a
+    task: chunk the signature into 8 longs (scoring.sig_chunks_raw, the
+    repo's single chunk definition), stack to (cluster, chunk_idx, chunk)
+    rows, then ONE map-side-combinable aggregation with 32 bit-count sums
+    per row; the vote and the hex reassembly are plain projections +
+    a second tiny aggregation at cluster grain.
+
+    Output: (cluster_id, sig binary(32), sig_hex string, n_members long).
+    """
+    from .scoring import _CHUNK_HEX, N_CHUNKS, sig_chunks_raw
+
+    j = signatures.select("conv_id", "sig_hex").join(
+        clusters.select("conv_id", "cluster_id"), "conv_id"
+    )
+    chunked = j.select(
+        "cluster_id", *[c.alias(f"_c{i}") for i, c in enumerate(sig_chunks_raw())]
+    )
+    stacked = chunked.select(
+        "cluster_id",
+        F.expr(
+            f"stack({N_CHUNKS}, "
+            + ", ".join(f"{i}, _c{i}" for i in range(N_CHUNKS))
+            + ") AS (_idx, _chunk)"
+        ),
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("_chunk"), k).bitwiseAND(F.lit(1))).alias(f"_b{k}")
+        for k in range(32)
+    ]
+    counts = stacked.groupBy("cluster_id", "_idx").agg(
+        F.count(F.lit(1)).alias("_n"), *bit_sums
+    )
+    voted = None
+    for k in range(32):
+        term = F.when(
+            F.col(f"_b{k}") * 2 > F.col("_n"), F.lit(1 << k)
+        ).otherwise(F.lit(0))
+        voted = term if voted is None else voted + term
+    rebuilt = counts.select(
+        "cluster_id",
+        "_idx",
+        "_n",
+        F.lpad(F.lower(F.hex(voted)), _CHUNK_HEX, "0").alias("_hex"),
+    )
+    rep = (
+        rebuilt.groupBy("cluster_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_hex"))),
+                    lambda s: s["_hex"],
+                ),
+            ).alias("sig_hex"),
+            F.max("_n").alias("n_members"),
+        )
+    )
+    return rep.select(
+        "cluster_id", F.unhex("sig_hex").alias("sig"), "sig_hex", "n_members"
+    )
