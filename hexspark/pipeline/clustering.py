@@ -131,6 +131,156 @@ def connected_components(
     return clusters, rounds
 
 
+def _pivot_priority(col, salt: str):
+    """Deterministic random-permutation priority for pivot clustering:
+    md5(salt || id) with the id appended, so the string order is a total
+    order over nodes even under (astronomically unlikely) digest ties, and
+    a different salt is a fresh permutation. Pure expression — recomputable
+    anywhere without a join."""
+    return F.concat(F.md5(F.concat(F.lit(salt), col)), col)
+
+
+def pivot_components(
+    edges: DataFrame, salt: str = "", max_iter: int = 40
+) -> tuple[DataFrame, int]:
+    """Correlation clustering over the match edges via parallel KwikCluster
+    (pivot clustering) — the precision-bounded alternative to B8's
+    transitive closure.
+
+    Semantics: EXACTLY the sequential greedy of Ailon-Charikar-Newman
+    (KwikCluster): visit nodes in a random order; an unclustered node
+    becomes a PIVOT and claims all its still-unclustered match-neighbors
+    as its cluster. Every cluster therefore sits inside one pivot's direct
+    match neighborhood — a false edge can pull in one node, never glue two
+    whole entities the way transitive closure does — and the expected
+    disagreement cost is within 3x of the optimal correlation clustering
+    when the random order is uniform.
+
+    Parallel simulation in two phases (the Blelloch-Fineman-Shun
+    "sequential greedy is parallel" argument, also Chierichetti-Dalvi-
+    Kumar KDD'14):
+
+    1. PIVOT phase — the sequential pivot set is exactly the
+       lexicographically-first maximal independent set under the random
+       priorities (a node is a pivot iff none of its smaller-priority
+       neighbors is one). Computed in rounds: every node whose priority is
+       the minimum of its UNRESOLVED neighborhood joins the MIS; its
+       unresolved neighbors are knocked OUT in the same round (they can
+       never be pivots, but their cluster assignment is NOT decided yet);
+       edges touching resolved nodes are dropped and the round repeats.
+       Rounds = the greedy dependence depth, O(log n) w.h.p.
+    2. ASSIGN phase — ONE pass at the end: every OUT node joins its
+       minimum-priority pivot neighbor over the ORIGINAL edges. (That is
+       the sequential answer: u's smaller non-pivot neighbors never claim
+       anything, so the first pivot processed among u's neighbors — the
+       minimum-priority one — claims u.)
+
+    Subtle and load-bearing: a round must NOT assign an OUT node to the
+    pivot that knocked it out — u's true owner can be a smaller-priority
+    neighbor that only becomes a pivot in a LATER round (see
+    test_pivot_waits_for_its_min_neighbor). Deferring assignment to phase
+    2 makes the distributed answer EQUAL to a pure-Python replay of the
+    sequential algorithm with the same md5 priorities, which is how the
+    tests pin it.
+
+    Scale shape: each MIS round is ONE node-keyed min aggregation over the
+    symmetric neighbor list (map-side combinable) + one semi-join to find
+    knocked-out neighbors + two left_anti joins to shrink the edge set;
+    the assign phase is one equi-join + one min_by aggregation; priorities
+    are pure expressions (no priority table to join); every round's
+    survivors are localCheckpoint()ed so the loop's plan stays flat (same
+    discipline as connected_components).
+
+    edges(conv_id_a, conv_id_b) -> (clusters(conv_id, cluster_id), rounds);
+    cluster_id is the PIVOT's conv_id (the cluster's center — every member
+    is a direct match-neighbor of it). Nodes present in edges always get a
+    row; isolated input nodes are the caller's with_singletons job, as for
+    connected_components.
+    """
+    orig = (
+        edges.select(F.col("conv_id_a").alias("u"), F.col("conv_id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        orig.select("u").union(orig.select(F.col("v").alias("u"))).distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = orig
+    pivot_parts: list[DataFrame] = []
+    rounds = 0
+    while not cur.isEmpty():
+        rounds += 1
+        if rounds > max_iter:
+            raise RuntimeError(
+                f"pivot clustering did not resolve within max_iter={max_iter} "
+                "rounds; raise max_iter (expected O(log n) rounds)"
+            )
+        # unionByName, not positional union: a USING join upstream can
+        # reorder (u, v) and a positional union would silently destroy the
+        # symmetry (observed: left_anti joins put the key column first)
+        sym = cur.select("u", "v").unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr = sym.select(
+            "u", _pivot_priority(F.col("u"), salt).alias("pu"),
+            "v", _pivot_priority(F.col("v"), salt).alias("pv"),
+        )
+        pivots = (
+            nbr.groupBy("u", "pu")
+            .agg(F.min("pv").alias("m_pri"))
+            .where(F.col("pu") < F.col("m_pri"))
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
+        pivot_parts.append(pivots)
+        knocked_out = (
+            sym.join(pivots, "u", "left_semi").select(F.col("v").alias("u"))
+        )
+        gone = pivots.unionByName(knocked_out).distinct().localCheckpoint(eager=True)
+        cur = (
+            cur.join(gone, "u", "left_anti")
+            .join(gone.select(F.col("u").alias("v")), "v", "left_anti")
+            .select("u", "v")  # USING joins move the key first — restore order
+            .localCheckpoint(eager=True)
+        )
+    # unresolved leftovers: all their neighbors were knocked OUT in earlier
+    # rounds, so they are in the lex-first MIS too (singleton-or-late pivots)
+    mis = all_nodes
+    if pivot_parts:
+        early = pivot_parts[0]
+        for part in pivot_parts[1:]:
+            early = early.unionByName(part)
+        # OUT = nodes adjacent to some pivot; everything else is IN
+        out_nodes = (
+            orig.select("u", "v")
+            .unionByName(orig.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .join(early.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u")
+            .distinct()
+        )
+        mis = all_nodes.join(out_nodes, "u", "left_anti").localCheckpoint(eager=True)
+        # assign each OUT node to its minimum-priority pivot neighbor
+        assigned = (
+            orig.select("u", "v")
+            .unionByName(orig.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .join(mis.select(F.col("u").alias("v")), "v", "left_semi")
+            .join(mis.select(F.col("u")), "u", "left_anti")
+            .groupBy("u")
+            .agg(
+                F.min_by("v", _pivot_priority(F.col("v"), salt)).alias("cluster_id")
+            )
+        )
+        clusters = mis.select(
+            F.col("u").alias("conv_id"), F.col("u").alias("cluster_id")
+        ).unionByName(assigned.select(F.col("u").alias("conv_id"), "cluster_id"))
+    else:
+        clusters = all_nodes.select(
+            F.col("u").alias("conv_id"), F.col("u").alias("cluster_id")
+        )
+    return clusters, rounds
+
+
 def with_singletons(clusters: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """Union singleton clusters for nodes that had no match edge.
     all_nodes: DataFrame with a conv_id column."""
