@@ -104,6 +104,20 @@ class PipelineConfig:
     # scored edge set, so a corroborated-but-low-scoring member still
     # lands in the queue. Batch mode only — see run_incremental.
     repair_min_avg: float | None = None
+    # clustering algorithm for the clusters stage: "cc" = transitive
+    # closure (connected components — maximal recall, fragile to single
+    # false edges), "pivot" = parallel KwikCluster correlation clustering
+    # (clustering.pivot_components) — every cluster sits inside one
+    # pivot's direct match-neighborhood, so a false edge can pull in one
+    # node but never glue two whole entities, at the cost of splitting
+    # long genuine match chains. A third precision lever next to robust
+    # (edge corroboration) and repair (post-hoc eviction); unlike those it
+    # emits no review queue — disagreements are priced into the partition.
+    # Mutually exclusive with robust/repair (each replaces the clusters
+    # stage its own way); batch-only (the pivot MIS is not monotone under
+    # edge appends — see run_incremental).
+    clustering_mode: str = "cc"
+    pivot_salt: str = ""
 
 
 @dataclass
@@ -151,6 +165,19 @@ class Runner:
             raise ValueError(
                 "meta_prune requires wide_pairs=True (the CBS weight is "
                 "computed from the carried signature chunks)"
+            )
+        if self.cfg.clustering_mode not in ("cc", "pivot"):
+            raise ValueError(
+                "clustering_mode must be 'cc' or 'pivot' "
+                f"(got {self.cfg.clustering_mode!r})"
+            )
+        if self.cfg.clustering_mode == "pivot" and (
+            self.cfg.robust or self.cfg.repair_min_avg is not None
+        ):
+            raise ValueError(
+                "clustering_mode='pivot' is its own precision mode and does "
+                "not compose with robust or repair_min_avg — pick one "
+                "precision lever per run"
             )
         self.workdir = workdir
         self._manifest_path = os.path.join(workdir, "run_manifest.json")
@@ -381,9 +408,16 @@ class Runner:
         else:
 
             def build_clusters() -> DataFrame:
-                cc, rounds = clustering.connected_components(edges, max_iter=cfg.cc_max_iter)
+                if cfg.clustering_mode == "pivot":
+                    cl, rounds = clustering.pivot_components(
+                        edges, salt=cfg.pivot_salt, max_iter=cfg.cc_max_iter
+                    )
+                else:
+                    cl, rounds = clustering.connected_components(
+                        edges, max_iter=cfg.cc_max_iter
+                    )
                 result.cc_rounds = rounds
-                return clustering.with_singletons(cc, sigs.select("conv_id"))
+                return clustering.with_singletons(cl, sigs.select("conv_id"))
 
             raw = self._run_stage(manifest, result, cc_stage, build_clusters)
 
@@ -432,6 +466,18 @@ class Runner:
                 "run_incremental does not support repair_min_avg: eviction "
                 "is not monotone under new edges (re-admission is possible)."
                 " Re-run the batch pipeline to re-repair."
+            )
+        if self.cfg.clustering_mode == "pivot":
+            # the pivot set is the lex-first MIS of the WHOLE match graph:
+            # one new edge can depose an existing pivot and re-deal its
+            # entire neighborhood, so — unlike the CC merge, where new
+            # edges only ever union components — there is no sound
+            # batch-proportional fold. Re-run the batch pipeline; its
+            # materialized edges stage makes re-clustering cheap.
+            raise ValueError(
+                "run_incremental does not support clustering_mode='pivot': "
+                "the pivot MIS is not monotone under new edges. Re-run the "
+                "batch pipeline."
             )
         manifest = self._manifest()
         required = (

@@ -100,6 +100,19 @@ def main() -> None:
              "the evicted_nodes review-queue stage table (batch mode only)",
     )
     ap.add_argument(
+        "--clustering-mode", choices=["cc", "pivot"], default="cc",
+        help="clusters stage algorithm: 'cc' = transitive closure (max "
+             "recall), 'pivot' = parallel KwikCluster correlation "
+             "clustering — clusters bounded by one pivot's direct match-"
+             "neighborhood, so a single false edge cannot glue two whole "
+             "entities (batch mode only)",
+    )
+    ap.add_argument(
+        "--pivot-salt", default="",
+        help="pivot mode only: salt of the md5 priority permutation "
+             "(a different salt is a fresh random visiting order)",
+    )
+    ap.add_argument(
         "--incremental", action="store_true",
         help="treat --input as a NEW batch and fold it into the workdir's "
              "completed run (fingerprints only the batch, never re-scores "
@@ -147,6 +160,8 @@ def main() -> None:
         meta_cep_budget=args.meta_cep_budget,
         robust=args.robust,
         repair_min_avg=args.repair_min_avg,
+        clustering_mode=args.clustering_mode,
+        pivot_salt=args.pivot_salt,
     )
     runner = Runner(spark, args.workdir, cfg)
     result = (
