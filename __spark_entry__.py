@@ -334,13 +334,32 @@ def q_probe_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_assemble_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2 assembly shape: per-user ordered event-type sequence."""
+def q_turn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2+ turn-level alignment (pipeline/align.py): the per-turn-equality
+    invariant as a production operator. events is the transcript stand-in
+    (user_id = conversation, (ts, event_id) = stable turn order,
+    event_type = turn content); pairs are blocked on the first-2-turn
+    digest and classified exact / prefix / partial with the aligned-equal
+    count. Subsumes the retired assemble_user_events row: the same
+    collect-sort-inside-the-array assembly feeds the digest arrays (the
+    full assemble composition stays byte-pinned by pipeline_e2e)."""
+    from hexspark.pipeline import align
+
     ev = _events(spark, sf_dir)
-    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
-    return ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.array_join(F.transform(ordered, lambda s: s["event_type"]), ",").alias("seq"),
+    sigs = align.turn_signatures(
+        ev,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        content_cols=("event_type",),
+    )
+    out = align.align_pairs(align.opening_block_pairs(sigs, k=2), sigs)
+    return out.select(
+        F.col("conv_id_a").cast("long"),
+        F.col("conv_id_b").cast("long"),
+        F.col("n_turns_a").cast("long"),
+        F.col("n_turns_b").cast("long"),
+        F.col("n_aligned").cast("long"),
+        "relationship",
     )
 
 
@@ -1876,7 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_pairs": q_hamming_pairs,
         "within_dist_by_lang": q_within_dist_by_lang,
         "probe_first_match": q_probe_first_match,
-        "assemble_user_events": q_assemble_user_events,
+        "turn_alignment": q_turn_alignment,
         # lsh_bands retired for the 50-row cap: candidate_pairs recomputes
         # the identical band projection inline and hash-checks its full
         # derivation, so the standalone projection row added no evidence
@@ -1939,10 +1958,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(min(f.doc_id), -1)::BIGINT AS first_idx
             FROM f, p WHERE f.doc_id <> 0 AND {d('f.h', 'p.ph')} <= 55
         """,
-        "assemble_user_events": """
-            SELECT user_id, count(*)::BIGINT AS n_events,
-                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
-            FROM events GROUP BY user_id
+        "turn_alignment": """
+            WITH t AS (
+              SELECT user_id AS conv_id,
+                     md5(coalesce(event_type, '')) AS h,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS ti
+              FROM events),
+            n AS (SELECT conv_id, count(*)::BIGINT AS n_turns
+                  FROM t GROUP BY conv_id),
+            bk AS (
+              SELECT conv_id, md5(string_agg(h, '' ORDER BY ti)) AS bk
+              FROM t WHERE ti < 2 GROUP BY conv_id HAVING count(*) = 2),
+            pairs AS (
+              SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b
+              FROM bk a JOIN bk b
+                ON a.bk = b.bk AND a.conv_id < b.conv_id),
+            al AS (
+              SELECT p.conv_id_a, p.conv_id_b,
+                     count(*) FILTER (WHERE ta.h = tb.h)::BIGINT AS n_aligned
+              FROM pairs p
+              JOIN t ta ON ta.conv_id = p.conv_id_a
+              JOIN t tb ON tb.conv_id = p.conv_id_b AND tb.ti = ta.ti
+              GROUP BY 1, 2)
+            SELECT al.conv_id_a, al.conv_id_b,
+                   na.n_turns AS n_turns_a, nb.n_turns AS n_turns_b,
+                   al.n_aligned,
+                   CASE WHEN al.n_aligned = na.n_turns
+                             AND na.n_turns = nb.n_turns THEN 'exact'
+                        WHEN al.n_aligned = LEAST(na.n_turns, nb.n_turns)
+                             THEN 'prefix'
+                        ELSE 'partial' END AS relationship
+            FROM al
+            JOIN n na ON na.conv_id = al.conv_id_a
+            JOIN n nb ON nb.conv_id = al.conv_id_b
         """,
         "meta_block_pairs": """
             WITH w AS (

@@ -1,0 +1,172 @@
+"""B2+ — turn-level alignment: per-turn equality over matched conversations.
+
+The north-star invariant for transcript ER is PER-TURN text equality under
+stable (conv_id, turn_idx) ordering (reference semantics: hexhamming's
+exact predicates, `/root/reference/test/test_hexhamming.py:12` — equality
+is byte-exact, never fuzzy). Document-level SimHash tells us two
+conversations are NEAR; this module answers the follow-up a transcript
+pipeline actually needs: WHERE do they agree, and is one a resumed /
+extended copy of the other? Resumed agent sessions produce exactly this
+shape — conversation B replays A's turns verbatim and appends more — and a
+dedup decision (drop the prefix, keep the extension) needs the
+containment relation, not just a similarity score.
+
+Design (all pure Catalyst — zero UDFs, zero extra shuffles beyond the
+one groupBy(conv) every assembly already pays):
+
+  * ``turn_signatures``: one hash aggregate per conversation collects the
+    turns, sorts them INSIDE the array by the order columns (sort_array on
+    struct — no global sort, no window), and projects each turn to a fixed
+    32-char md5 of its content columns. Long turn texts ride exactly one
+    exchange (the groupBy) and are then dropped; everything downstream
+    compares 16-byte digests.
+  * ``opening_block_pairs``: self equi-join on the hash of the first k
+    turn digests — conversations can only be prefix/exact duplicates if
+    they OPEN identically, so the opening prefix is a lossless blocking
+    key for containment (deeper k = smaller blocks; hot openers are an
+    AQE-skew / salting concern like any band key, see blocking.py).
+  * ``align_pairs``: attach the two digest arrays to any candidate pair
+    stream (two conv-keyed hash joins) and classify in projections:
+    n_aligned = equal positions over the common prefix (zip_with pads the
+    shorter array with NULL; NULL comparisons are dropped by filter), then
+      exact   — same length, every position equal
+      prefix  — the shorter is a verbatim prefix of the longer
+      partial — anything else (n_aligned still reported)
+
+At 100 TB: turn_signatures is one map-side-combinable aggregate; the
+digest arrays are ~32B x n_turns per conversation and join-key-partitioned
+thereafter; align_pairs adds two hash joins on conv ids and NO Python
+boundary, so alignment of a 10^9-pair candidate stream is a codegen map
+stage over fixed-width digests.
+
+NULL/content semantics: content columns are cast to string and
+coalesced to '' before hashing (concat_ws would silently skip NULLs and
+alias ("a", NULL) with ("a") across columns otherwise); a NULL text and an
+empty text therefore hash equal — documented, deliberate, and mirrored in
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: unit separator — keeps ("ab","c") and ("a","bc") from colliding when
+#: multiple content columns are concatenated into one digest input.
+_US = "\x1f"
+
+
+def turn_signatures(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    content_cols: Sequence[str] = ("role", "text"),
+) -> DataFrame:
+    """(conv_id, ...turns...) -> (conv_id, turn_hashes array<string>,
+    n_turns int). ``order_cols`` must totally order turns within a
+    conversation (turn_idx is unique per conv; for event streams use
+    (ts, event_id)) — the digest never participates in the sort.
+    One hash aggregate; no window, no global sort."""
+    digest = F.md5(
+        F.concat_ws(
+            _US,
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols],
+        )
+    )
+    turn = F.struct(
+        *[F.col(c) for c in order_cols],
+        digest.alias("_h"),
+    )
+    ordered = F.sort_array(F.collect_list(turn))
+    return transcripts.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.transform(ordered, lambda s: s["_h"]).alias("turn_hashes"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )
+
+
+def opening_block_pairs(sigs: DataFrame, k: int = 2) -> DataFrame:
+    """Candidate pairs for containment: conversations whose first ``k``
+    turn digests are identical. Lossless for prefix/exact duplicates with
+    >= k turns (a containment pair agrees on EVERY common-prefix position,
+    so in particular on the first k). Output: (conv_id_a, conv_id_b),
+    a < b, exactly once. The block key is one md5 over the k digests —
+    a band-key-shaped equi-join, same skew envelope as LSH banding."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    keyed = sigs.where(F.size("turn_hashes") >= k).select(
+        "conv_id",
+        F.md5(F.array_join(F.slice("turn_hashes", 1, k), "")).alias("_bk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        b,
+        (F.col("a._bk") == F.col("b._bk")) & (F.col("a.conv_id") < F.col("b.conv_id")),
+    ).select(
+        F.col("a.conv_id").alias("conv_id_a"),
+        F.col("b.conv_id").alias("conv_id_b"),
+    )
+
+
+def align_pairs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Attach turn-level alignment to candidate pairs.
+
+    Input: pairs(conv_id_a, conv_id_b [, ...passthrough]) + the
+    ``turn_signatures`` table. Output adds
+      n_turns_a, n_turns_b  — conversation lengths,
+      n_aligned             — positions i where turn i of a == turn i of b
+                              (over the common prefix length),
+      relationship          — 'exact' | 'prefix' | 'partial'.
+    Two conv-keyed hash joins + projections; no Python, no shuffle beyond
+    the joins."""
+    a = sigs.select(
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("turn_hashes").alias("_ha"),
+        F.col("n_turns").alias("n_turns_a"),
+    )
+    b = sigs.select(
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("turn_hashes").alias("_hb"),
+        F.col("n_turns").alias("n_turns_b"),
+    )
+    # zip_with pads the shorter array with NULL; x == NULL is NULL and
+    # filter() keeps only TRUE, so the count runs over the common prefix.
+    n_aligned = F.size(
+        F.filter(F.zip_with("_ha", "_hb", lambda x, y: x == y), lambda v: v)
+    )
+    rel = (
+        F.when(
+            (F.col("n_aligned") == F.col("n_turns_a"))
+            & (F.col("n_turns_a") == F.col("n_turns_b")),
+            F.lit("exact"),
+        )
+        .when(
+            F.col("n_aligned") == F.least("n_turns_a", "n_turns_b"),
+            F.lit("prefix"),
+        )
+        .otherwise(F.lit("partial"))
+    )
+    return (
+        pairs.join(a, "conv_id_a")
+        .join(b, "conv_id_b")
+        .withColumn("n_aligned", n_aligned)
+        .withColumn("relationship", rel)
+        .drop("_ha", "_hb")
+    )
+
+
+def containment_pairs(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    content_cols: Sequence[str] = ("role", "text"),
+    k: int = 2,
+) -> DataFrame:
+    """End-to-end convenience: transcripts -> exact/prefix duplicate pairs
+    (resumed-session detection). Only pairs whose relationship is 'exact'
+    or 'prefix' survive; 'partial' openers are filtered out after the
+    cheap digest comparison."""
+    sigs = turn_signatures(transcripts, conv_col, order_cols, content_cols)
+    aligned = align_pairs(opening_block_pairs(sigs, k=k), sigs)
+    return aligned.where(F.col("relationship") != "partial")
