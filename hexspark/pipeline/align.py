@@ -50,7 +50,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: unit separator — keeps ("ab","c") and ("a","bc") from colliding when
@@ -153,6 +153,65 @@ def align_pairs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
         .withColumn("n_aligned", n_aligned)
         .withColumn("relationship", rel)
         .drop("_ha", "_hb")
+    )
+
+
+def contained_map(sigs: DataFrame, k: int = 2) -> DataFrame:
+    """The containment DEDUP decision: which conversations to drop, and
+    which surviving container stands in for each.
+
+    Drop rule: a conversation is dropped iff it is a strict prefix of some
+    other conversation (the resumed copy supersedes it), or an exact
+    duplicate of one with a smaller conv_id (min-id copy survives).
+    Representative rule: among a dropped conversation's containers, take
+    the one with the most turns, tiebroken by smallest conv_id.
+
+    The representative PROVABLY survives: if rep R of d were itself
+    dropped, its own container S (longer, or same-length with smaller id)
+    also contains d — containment composes through prefixes, and the pair
+    (d, S) is guaranteed present because blocking on the first k digests
+    is lossless for containment — so the (n_turns DESC, conv_id ASC)
+    argmax would have chosen S over R. Hence contained_map needs no
+    chain-chasing iteration: one aligned-pair pass + one per-conv top-1
+    window.
+
+    Output: (conv_id, rep_id, n_turns, rep_n_turns) — one row per DROPPED
+    conversation. Conversations with < k turns never pair and never drop.
+    """
+    aligned = align_pairs(opening_block_pairs(sigs, k=k), sigs).where(
+        F.col("relationship") != "partial"
+    )
+    ab = aligned.select(
+        F.col("conv_id_a").alias("conv_id"),
+        F.col("conv_id_b").alias("rep_id"),
+        F.col("n_turns_a").alias("n"),
+        F.col("n_turns_b").alias("rep_n"),
+        "relationship",
+    )
+    ba = aligned.select(
+        F.col("conv_id_b").alias("conv_id"),
+        F.col("conv_id_a").alias("rep_id"),
+        F.col("n_turns_b").alias("n"),
+        F.col("n_turns_a").alias("rep_n"),
+        "relationship",
+    )
+    dropped = ab.unionByName(ba).where(
+        (F.col("n") < F.col("rep_n"))
+        | (
+            (F.col("relationship") == "exact")
+            & (F.col("conv_id") > F.col("rep_id"))
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("rep_n"), F.asc("rep_id"))
+    return (
+        dropped.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "conv_id",
+            "rep_id",
+            F.col("n").alias("n_turns"),
+            F.col("rep_n").alias("rep_n_turns"),
+        )
     )
 
 

@@ -118,6 +118,20 @@ class PipelineConfig:
     # edge appends — see run_incremental).
     clustering_mode: str = "cc"
     pivot_salt: str = ""
+    # exact containment pre-dedup (pipeline/align.py): before assembly,
+    # drop conversations that are strict turn-level prefixes of another
+    # conversation (resumed sessions) or exact duplicates (min-id copy
+    # survives). The dropped->survivor map lands as the contained_map
+    # stage table; dropped conversations re-enter the FINAL clusters
+    # output attached to their representative's cluster, so the output is
+    # still a partition of the full input. Two wins at scale: the
+    # quadratic stages never see the redundant copies, and a short prefix
+    # whose long continuation SimHash would NOT match (the extension
+    # dominates the fingerprint) still lands in the right entity — exact
+    # containment is evidence stronger than any similarity score. Batch
+    # mode only — see run_incremental.
+    drop_contained: bool = False
+    containment_k: int = 2
 
 
 @dataclass
@@ -178,6 +192,10 @@ class Runner:
                 "clustering_mode='pivot' is its own precision mode and does "
                 "not compose with robust or repair_min_avg — pick one "
                 "precision lever per run"
+            )
+        if self.cfg.drop_contained and self.cfg.containment_k < 1:
+            raise ValueError(
+                f"containment_k must be >= 1 (got {self.cfg.containment_k})"
             )
         self.workdir = workdir
         self._manifest_path = os.path.join(workdir, "run_manifest.json")
@@ -254,6 +272,44 @@ class Runner:
         manifest = self._manifest()
         result = PipelineResult(run_id=manifest["run_id"])
         cfg = self.cfg
+
+        contained = None
+        if cfg.drop_contained:
+            from . import align
+
+            def build_contained() -> DataFrame:
+                sigs_t = align.turn_signatures(transcripts)
+                return align.contained_map(sigs_t, k=cfg.containment_k)
+
+            contained = self._run_stage(
+                manifest, result, "contained_map", build_contained
+            )
+            # survivors only past this point; the dropped conversations
+            # re-enter at the final clusters stage via their rep's cluster
+            transcripts = transcripts.join(
+                contained.select("conv_id"), "conv_id", "left_anti"
+            )
+
+        def attach_contained(clusters_df: DataFrame) -> DataFrame:
+            """Union dropped conversations back in, assigned to their
+            representative's cluster; in cc mode re-canonicalize
+            cluster_id = min member id (B9 invariant). In pivot mode the
+            pivot keeps naming the cluster (it remains a member)."""
+            if contained is None:
+                return clusters_df
+            from pyspark.sql import Window
+
+            reattached = contained.select("conv_id", "rep_id").join(
+                clusters_df.select(
+                    F.col("conv_id").alias("rep_id"), "cluster_id"
+                ),
+                "rep_id",
+            ).select("conv_id", "cluster_id")
+            full = clusters_df.unionByName(reattached)
+            if cfg.clustering_mode == "cc":
+                w = Window.partitionBy("cluster_id")
+                full = full.withColumn("cluster_id", F.min("conv_id").over(w))
+            return full
 
         convs = self._run_stage(
             manifest, result, "conversations",
@@ -402,7 +458,8 @@ class Runner:
                 )
                 cc, rounds = clustering.connected_components(kept, max_iter=cfg.cc_max_iter)
                 result.cc_rounds = rounds
-                return clustering.with_singletons(cc, sigs.select("conv_id"))
+                base = clustering.with_singletons(cc, sigs.select("conv_id"))
+                return base if cc_stage != "clusters" else attach_contained(base)
 
             raw = self._run_stage(manifest, result, cc_stage, build_clusters_robust)
         else:
@@ -417,7 +474,8 @@ class Runner:
                         edges, max_iter=cfg.cc_max_iter
                     )
                 result.cc_rounds = rounds
-                return clustering.with_singletons(cl, sigs.select("conv_id"))
+                base = clustering.with_singletons(cl, sigs.select("conv_id"))
+                return base if cc_stage != "clusters" else attach_contained(base)
 
             raw = self._run_stage(manifest, result, cc_stage, build_clusters)
 
@@ -434,8 +492,10 @@ class Runner:
                 manifest,
                 result,
                 "clusters",
-                lambda: repair.reclustered(
-                    raw, edges, evicted, cc_max_iter=cfg.cc_max_iter
+                lambda: attach_contained(
+                    repair.reclustered(
+                        raw, edges, evicted, cc_max_iter=cfg.cc_max_iter
+                    )
                 ),
             )
         return result
@@ -477,6 +537,22 @@ class Runner:
             raise ValueError(
                 "run_incremental does not support clustering_mode='pivot': "
                 "the pivot MIS is not monotone under new edges. Re-run the "
+                "batch pipeline."
+            )
+        if self.cfg.drop_contained:
+            # a new batch can CONTAIN an old conversation (the old one is
+            # the prefix a user resumed) — the old conv should then be
+            # dropped, but batch-mode drop decisions are not monotone
+            # under appends, and the turn-level digests needed to check
+            # new-vs-all containment are not a stored stage (only the
+            # dropped rows land in contained_map). Folding raw would also
+            # silently diverge from what a batch re-run produces. Re-run
+            # the batch pipeline; contained_map and conversations resume
+            # from their stage tables.
+            raise ValueError(
+                "run_incremental does not support drop_contained: "
+                "containment drops are not monotone under new batches "
+                "(a new conversation can contain an old one). Re-run the "
                 "batch pipeline."
             )
         manifest = self._manifest()

@@ -113,6 +113,19 @@ def main() -> None:
              "(a different salt is a fresh random visiting order)",
     )
     ap.add_argument(
+        "--drop-contained", action="store_true",
+        help="exact containment pre-dedup: drop conversations that are "
+             "strict turn-level prefixes of another (resumed sessions) or "
+             "exact duplicates before assembly; dropped conversations "
+             "re-enter the final clusters attached to their surviving "
+             "container's cluster (batch mode only)",
+    )
+    ap.add_argument(
+        "--containment-k", type=int, default=2,
+        help="containment blocking depth: conversations pair only if "
+             "their first k turn digests agree (lossless for containment)",
+    )
+    ap.add_argument(
         "--incremental", action="store_true",
         help="treat --input as a NEW batch and fold it into the workdir's "
              "completed run (fingerprints only the batch, never re-scores "
@@ -162,6 +175,8 @@ def main() -> None:
         repair_min_avg=args.repair_min_avg,
         clustering_mode=args.clustering_mode,
         pivot_salt=args.pivot_salt,
+        drop_contained=args.drop_contained,
+        containment_k=args.containment_k,
     )
     runner = Runner(spark, args.workdir, cfg)
     result = (
