@@ -23,8 +23,12 @@ one groupBy(conv) every assembly already pays):
   * ``opening_block_pairs``: self equi-join on the hash of the first k
     turn digests — conversations can only be prefix/exact duplicates if
     they OPEN identically, so the opening prefix is a lossless blocking
-    key for containment (deeper k = smaller blocks; hot openers are an
-    AQE-skew / salting concern like any band key, see blocking.py).
+    key for containment at >= k turns. Demo-grade: hot boilerplate
+    openers (a universal system prompt) collapse it into one block.
+  * ``prefix_block_pairs``: the production blocker — a per-depth prefix
+    index (linear in total turns) probed at each conversation's exact
+    length, lossless at ANY length and immune to shared openers (see its
+    docstring for the depth_cap trade).
   * ``align_pairs``: attach the two digest arrays to any candidate pair
     stream (two conv-keyed hash joins) and classify in projections:
     n_aligned = equal positions over the common prefix (zip_with pads the
@@ -156,7 +160,71 @@ def align_pairs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
-def contained_map(sigs: DataFrame, k: int = 2) -> DataFrame:
+def prefix_block_pairs(sigs: DataFrame, depth_cap: int = 256) -> DataFrame:
+    """Containment candidates via a PREFIX INDEX — the boilerplate-proof
+    scale path (opening_block_pairs degenerates when every conversation
+    opens with the same system prompt: one giant block).
+
+    Construction: every conversation INDEXES one key per depth d in
+    1..n_turns — (d, digest of its first min(d, depth_cap) turn digests)
+    — and PROBES once at exactly its own full length. A containment pair
+    (short ⊆ long) agrees on every position <= |short|, so the long side's
+    index key at depth |short| equals the short side's probe key: the join
+    is LOSSLESS for containment at ANY length (including 1-turn prefixes
+    the opening blocker's k >= 2 floor missed), and a non-contained pair
+    can only collide if its first min(d, depth_cap) turns are identical —
+    beyond depth_cap that residual is real (conversations sharing
+    depth_cap identical opening turns block together; raise the cap or
+    let AQE split the block), below it the key is the full prefix and
+    false candidates require an md5 collision. Downstream align_pairs
+    verification discards any such collision, so correctness never rests
+    on the blocking.
+
+    Cost: index rows = Σ n_turns (LINEAR in corpus turns, one row per
+    turn); prefix digests are materialized once per conversation up to
+    depth_cap (O(depth_cap²) bytes transient per conversation — the cap
+    exists exactly to bound this). No self-join on conversations: the
+    join is probe × index on the fine-grained (depth, digest) key.
+
+    Output: (conv_id_a, conv_id_b), a < b, exactly once — every true
+    containment pair present.
+    """
+    if depth_cap < 1:
+        raise ValueError(f"depth_cap must be >= 1 (got {depth_cap})")
+    cap = F.least(F.size("turn_hashes"), F.lit(depth_cap))
+    pref = F.transform(
+        F.sequence(F.lit(1), cap),
+        lambda d: F.md5(F.array_join(F.slice("turn_hashes", F.lit(1), d), "")),
+    )
+    based = sigs.select("conv_id", "n_turns", pref.alias("_pref"))
+    probe = based.select(
+        F.col("conv_id").alias("_conv_s"),
+        F.col("n_turns").alias("_d"),
+        F.element_at("_pref", F.least(F.col("n_turns"), F.lit(depth_cap))).alias(
+            "_key"
+        ),
+    )
+    idx = based.select(
+        F.col("conv_id").alias("_conv_l"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_turns")),
+                lambda d: F.element_at("_pref", F.least(d, F.lit(depth_cap))),
+            )
+        ).alias("_pos", "_key"),
+    ).select("_conv_l", (F.col("_pos") + 1).alias("_d"), "_key")
+    return (
+        probe.join(idx, ["_d", "_key"])
+        .where(F.col("_conv_s") != F.col("_conv_l"))
+        .select(
+            F.least("_conv_s", "_conv_l").alias("conv_id_a"),
+            F.greatest("_conv_s", "_conv_l").alias("conv_id_b"),
+        )
+        .distinct()
+    )
+
+
+def contained_map(sigs: DataFrame, depth_cap: int = 256) -> DataFrame:
     """The containment DEDUP decision: which conversations to drop, and
     which surviving container stands in for each.
 
@@ -169,16 +237,16 @@ def contained_map(sigs: DataFrame, k: int = 2) -> DataFrame:
     The representative PROVABLY survives: if rep R of d were itself
     dropped, its own container S (longer, or same-length with smaller id)
     also contains d — containment composes through prefixes, and the pair
-    (d, S) is guaranteed present because blocking on the first k digests
-    is lossless for containment — so the (n_turns DESC, conv_id ASC)
+    (d, S) is guaranteed present because the prefix-index blocking is
+    lossless for containment — so the (n_turns DESC, conv_id ASC)
     argmax would have chosen S over R. Hence contained_map needs no
     chain-chasing iteration: one aligned-pair pass + one per-conv top-1
     window.
 
     Output: (conv_id, rep_id, n_turns, rep_n_turns) — one row per DROPPED
-    conversation. Conversations with < k turns never pair and never drop.
+    conversation.
     """
-    aligned = align_pairs(opening_block_pairs(sigs, k=k), sigs).where(
+    aligned = align_pairs(prefix_block_pairs(sigs, depth_cap=depth_cap), sigs).where(
         F.col("relationship") != "partial"
     )
     ab = aligned.select(
@@ -220,12 +288,12 @@ def containment_pairs(
     conv_col: str = "conv_id",
     order_cols: Sequence[str] = ("turn_idx",),
     content_cols: Sequence[str] = ("role", "text"),
-    k: int = 2,
+    depth_cap: int = 256,
 ) -> DataFrame:
     """End-to-end convenience: transcripts -> exact/prefix duplicate pairs
-    (resumed-session detection). Only pairs whose relationship is 'exact'
-    or 'prefix' survive; 'partial' openers are filtered out after the
-    cheap digest comparison."""
+    (resumed-session detection). Candidates come from the lossless prefix
+    index, so every containment pair at any length is present; the
+    'partial' filter only discards md5-collision false candidates."""
     sigs = turn_signatures(transcripts, conv_col, order_cols, content_cols)
-    aligned = align_pairs(opening_block_pairs(sigs, k=k), sigs)
+    aligned = align_pairs(prefix_block_pairs(sigs, depth_cap=depth_cap), sigs)
     return aligned.where(F.col("relationship") != "partial")

@@ -128,10 +128,14 @@ class PipelineConfig:
     # quadratic stages never see the redundant copies, and a short prefix
     # whose long continuation SimHash would NOT match (the extension
     # dominates the fingerprint) still lands in the right entity — exact
-    # containment is evidence stronger than any similarity score. Batch
+    # containment is evidence stronger than any similarity score.
+    # Candidates come from the lossless per-depth prefix index
+    # (align.prefix_block_pairs) — immune to universal-system-prompt
+    # openers; containment_depth_cap bounds the per-conversation prefix
+    # materialization (beyond it, keys coarsen but stay lossless). Batch
     # mode only — see run_incremental.
     drop_contained: bool = False
-    containment_k: int = 2
+    containment_depth_cap: int = 256
 
 
 @dataclass
@@ -193,9 +197,10 @@ class Runner:
                 "not compose with robust or repair_min_avg — pick one "
                 "precision lever per run"
             )
-        if self.cfg.drop_contained and self.cfg.containment_k < 1:
+        if self.cfg.drop_contained and self.cfg.containment_depth_cap < 1:
             raise ValueError(
-                f"containment_k must be >= 1 (got {self.cfg.containment_k})"
+                "containment_depth_cap must be >= 1 "
+                f"(got {self.cfg.containment_depth_cap})"
             )
         self.workdir = workdir
         self._manifest_path = os.path.join(workdir, "run_manifest.json")
@@ -279,7 +284,9 @@ class Runner:
 
             def build_contained() -> DataFrame:
                 sigs_t = align.turn_signatures(transcripts)
-                return align.contained_map(sigs_t, k=cfg.containment_k)
+                return align.contained_map(
+                    sigs_t, depth_cap=cfg.containment_depth_cap
+                )
 
             contained = self._run_stage(
                 manifest, result, "contained_map", build_contained

@@ -121,9 +121,10 @@ def main() -> None:
              "container's cluster (batch mode only)",
     )
     ap.add_argument(
-        "--containment-k", type=int, default=2,
-        help="containment blocking depth: conversations pair only if "
-             "their first k turn digests agree (lossless for containment)",
+        "--containment-depth-cap", type=int, default=256,
+        help="containment prefix-index depth cap: bounds per-conversation "
+             "prefix-digest materialization; beyond it block keys coarsen "
+             "to the depth-cap prefix but stay lossless",
     )
     ap.add_argument(
         "--incremental", action="store_true",
@@ -176,7 +177,7 @@ def main() -> None:
         clustering_mode=args.clustering_mode,
         pivot_salt=args.pivot_salt,
         drop_contained=args.drop_contained,
-        containment_k=args.containment_k,
+        containment_depth_cap=args.containment_depth_cap,
     )
     runner = Runner(spark, args.workdir, cfg)
     result = (

@@ -139,6 +139,91 @@ def test_randomized_common_prefix_replay(spark):
             assert r["relationship"] == "partial"
 
 
+def _brute_containment(convs: dict[str, list[str]]) -> set[tuple[str, str]]:
+    ids = sorted(convs)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ta, tb = convs[a], convs[b]
+            m = min(len(ta), len(tb))
+            if ta[:m] == tb[:m]:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_block_exact_vs_brute_force(spark):
+    """With depth_cap >= max length, prefix-index candidates are EXACTLY
+    the containment pairs (false candidates would need an md5 collision)."""
+    rng = random.Random(29)
+    vocab = ["aa", "bb"]
+    convs, rows = {}, []
+    for i in range(30):
+        n = rng.randint(1, 7)
+        turns = [("user", rng.choice(vocab)) for _ in range(n)]
+        convs[f"p{i:02d}"] = [t for _, t in turns]
+        rows += _conv(f"p{i:02d}", turns)
+    sigs = align.turn_signatures(spark.createDataFrame(rows, DDL))
+    got = {(r["conv_id_a"], r["conv_id_b"])
+           for r in align.prefix_block_pairs(sigs, depth_cap=16).collect()}
+    assert got == _brute_containment(convs)
+
+
+def test_prefix_block_boilerplate_opener_immunity(spark, corpus):
+    """Every conversation in this corpus shares NO opener except the
+    planted family — but with a universal system prompt prepended to all,
+    the opening blocker pairs everyone while the prefix index still emits
+    only the true containment family."""
+    sys_prompt = [("system", "you are a helpful assistant")]
+    rows = []
+    rows += _conv("a", sys_prompt + BASE)
+    rows += _conv("b", sys_prompt + BASE)  # exact dup
+    rows += _conv("c", sys_prompt + BASE + [("user", "more")])  # resumed
+    rows += _conv("d", sys_prompt + [("user", "totally different ask")])
+    rows += _conv("e", sys_prompt + [("user", "another unrelated thing")])
+    sigs = align.turn_signatures(spark.createDataFrame(rows, DDL))
+    opener = {(r["conv_id_a"], r["conv_id_b"])
+              for r in align.opening_block_pairs(sigs, k=1).collect()}
+    assert len(opener) == 10  # all C(5,2): the opener key degenerated
+    pref = {(r["conv_id_a"], r["conv_id_b"])
+            for r in align.prefix_block_pairs(sigs).collect()}
+    # d/e are 2-turn convs whose full prefix is (sys, own ask) — no other
+    # conversation shares it, so they must NOT pair with anyone
+    assert pref == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_prefix_block_one_turn_and_depth_cap(spark):
+    """1-turn prefixes ARE detected (the opening blocker's k>=2 floor
+    missed them); a tiny depth_cap keeps every containment pair (lossless)
+    and may only ADD collision candidates, which align_pairs then rejects."""
+    rows = (_conv("s", [("user", "hello")])
+            + _conv("l", [("user", "hello"), ("assistant", "hi")])
+            + _conv("m", [("user", "hello"), ("assistant", "other")]))
+    sigs = align.turn_signatures(spark.createDataFrame(rows, DDL))
+    full = {(r["conv_id_a"], r["conv_id_b"])
+            for r in align.prefix_block_pairs(sigs).collect()}
+    assert full == {("l", "s"), ("m", "s")}  # s prefix of both; l vs m diverge
+    capped = {(r["conv_id_a"], r["conv_id_b"])
+              for r in align.prefix_block_pairs(sigs, depth_cap=1).collect()}
+    assert full <= capped  # lossless under the cap
+    assert ("l", "m") in capped  # coarse key adds the collision candidate
+    verified = align.align_pairs(
+        align.prefix_block_pairs(sigs, depth_cap=1), sigs
+    ).where(F.col("relationship") != "partial")
+    got = {(r["conv_id_a"], r["conv_id_b"]) for r in verified.collect()}
+    assert got == full  # verification discards the collision
+    with pytest.raises(ValueError, match="depth_cap"):
+        align.prefix_block_pairs(sigs, depth_cap=0)
+
+
+def test_contained_map_one_turn_prefix(spark):
+    rows = (_conv("s", [("user", "hello")])
+            + _conv("l", [("user", "hello"), ("assistant", "hi")]))
+    sigs = align.turn_signatures(spark.createDataFrame(rows, DDL))
+    cm = {r["conv_id"]: r["rep_id"]
+          for r in align.contained_map(sigs).collect()}
+    assert cm == {"s": "l"}
+
+
 def test_plan_no_python_no_cartesian(spark, corpus):
     sigs = align.turn_signatures(corpus)
     plan = align.align_pairs(

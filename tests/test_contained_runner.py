@@ -105,7 +105,7 @@ def test_config_drift_guard(runs, spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="different pipeline config"):
         Runner(
             spark, wd,
-            PipelineConfig(**CFG, drop_contained=True, containment_k=3),
+            PipelineConfig(**CFG, drop_contained=True, containment_depth_cap=8),
         ).run(corpus)
 
 
@@ -133,10 +133,10 @@ def test_composes_with_pivot_mode(spark, corpus, tmp_path):
 
 
 def test_validation(spark, tmp_path):
-    with pytest.raises(ValueError, match="containment_k"):
+    with pytest.raises(ValueError, match="containment_depth_cap"):
         Runner(
             spark, str(tmp_path / "v"),
-            PipelineConfig(drop_contained=True, containment_k=0),
+            PipelineConfig(drop_contained=True, containment_depth_cap=0),
         )
 
 
