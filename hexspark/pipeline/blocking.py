@@ -455,3 +455,76 @@ def union_candidates(
         F.array_sort(F.collect_set("_pass")).alias("passes"),
         F.size(F.collect_set("_pass")).alias("n_passes"),
     )
+
+
+def phonetic_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 2,
+) -> DataFrame:
+    """(id, phonetic_key) — Soundex codes of the first ``n_tokens`` alpha
+    tokens, joined with '|'.
+
+    The classical fourth blocking family next to LSH banding, sorted
+    neighborhood, and token blocking: phonetic keys catch sound-alike
+    spellings ("Smith"/"Smyth", "Robert"/"Rupert") that neither SimHash
+    bands nor exact-token inverted indexes reliably co-block, because the
+    variant characters are exactly the ones the other keys hash on.
+    Soundex is a Spark codegen builtin, so key derivation is a narrow map
+    stage. Rows with no alpha token get a NULL key (filtered out — an
+    unblockable value should produce no pairs, not one giant NULL block).
+    """
+    if n_tokens < 1:
+        raise ValueError("n_tokens must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", " ")), " +"),
+        lambda t: F.length(t) > 0,
+    )
+    key = F.array_join(
+        F.transform(F.slice(toks, 1, n_tokens), lambda t: F.soundex(t)), "|"
+    )
+    return df.select(
+        F.col(id_col).alias("rec_id"),
+        F.when(F.size(toks) > 0, key).alias("phonetic_key"),
+    ).where(F.col("phonetic_key").isNotNull())
+
+
+def phonetic_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 2,
+    max_block_size: int = 50,
+    out_a: str = "conv_id_a",
+    out_b: str = "conv_id_b",
+) -> DataFrame:
+    """Candidate pairs from a phonetic blocking pass: self equi-join on the
+    Soundex key with ``id_a < id_b``, exactly once per pair.
+
+    ``max_block_size`` drops keys whose block exceeds the cap BEFORE the
+    join (one map-side-combinable count + semi-join) — the standard guard
+    against monster blocks of ultra-common name sounds; at corpus scale a
+    capped block means O(cap^2) pairs per key instead of O(freq^2) for
+    hot sounds. Same df-cap discipline as token blocking
+    (ops/setjoin.py:token_blocking_pairs).
+
+    Emits (out_a, out_b, phonetic_key) — feed into union_candidates as one
+    pass of a multi-pass blocker.
+    """
+    keyed = phonetic_keys(df, id_col, text_col, n_tokens)
+    if max_block_size is not None:
+        ok = (
+            keyed.groupBy("phonetic_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= F.lit(int(max_block_size)))
+            .select("phonetic_key")
+        )
+        keyed = keyed.join(ok, "phonetic_key", "left_semi")
+    a = keyed.select(F.col("phonetic_key"), F.col("rec_id").alias(out_a))
+    b = keyed.select(F.col("phonetic_key"), F.col("rec_id").alias(out_b))
+    return (
+        a.join(b, "phonetic_key")
+        .where(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, "phonetic_key")
+    )
