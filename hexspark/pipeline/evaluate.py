@@ -504,3 +504,57 @@ def threshold_sweep_df(
         )
         .orderBy("threshold")
     )
+
+
+def per_pass_blocking_quality(
+    labeled_pairs: DataFrame,
+    union_pairs: DataFrame,
+) -> DataFrame:
+    """Attribute blocking quality to each pass of a multi-pass blocker.
+
+    ``union_pairs`` is blocking.union_candidates output — (conv_id_a,
+    conv_id_b, passes array<string>, n_passes). Returns one row per pass
+    PLUS a ``__union__`` row for the deduped union, with exact-integer
+    counts only (ratios belong at the consumer's edge, where float
+    rounding can't leak into a hash gate):
+
+    * ``pass``            — pass name, or ``__union__``
+    * ``n_candidates``    — pairs this pass emitted
+    * ``n_covered``       — true matches among them
+    * ``n_true_matches``  — label positives (same on every row)
+
+    This is THE multi-pass tuning readout: a pass whose n_covered is a
+    subset of the others' adds cost without recall and should be dropped;
+    the union row minus the best single pass is what multi-pass buys.
+
+    Plan: explode the (tiny) per-pair pass list, union one literal-tagged
+    copy for the union row, ONE left join against the positive labels on
+    the pair key, one groupBy on the pass name — counts are map-side
+    combinable; the positives total rides in as a one-row cross join
+    (same shape as blocking_quality_df).
+    """
+    per = union_pairs.select(
+        "conv_id_a", "conv_id_b", F.explode("passes").alias("pass")
+    )
+    tagged = per.unionByName(
+        union_pairs.select(
+            "conv_id_a", "conv_id_b", F.lit("__union__").alias("pass")
+        )
+    )
+    pos = (
+        labeled_pairs.where(F.col("is_match"))
+        .select("conv_id_a", "conv_id_b")
+        .withColumn("_pos", F.lit(1))
+    )
+    counts = (
+        tagged.join(pos, ["conv_id_a", "conv_id_b"], "left")
+        .groupBy("pass")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("_pos").isNotNull(), 1)).alias("n_covered"),
+        )
+    )
+    n_true = pos.agg(F.count(F.lit(1)).alias("n_true_matches"))
+    return counts.crossJoin(n_true).select(
+        "pass", "n_candidates", "n_covered", "n_true_matches"
+    )
