@@ -640,33 +640,45 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_string_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both secondary string-scorer families (B6) over ONE adjacent-pair
-    construction — round-3's q_jaro_winkler and q_edit_distance_pairs
-    consolidated so every operator fits the driver's 50-query correctness
-    window without losing a hash-checked column. Per pair: vectorized
-    Jaro-Winkler on the 32-char canonical key (oracled against DuckDB's
-    jaro_winkler_similarity), plus the Levenshtein family on the 40-char
-    key — full distance, BOUNDED distance (threshold 12 → -1 beyond it,
-    Spark's banded O(len·t) DP, the edit-distance analogue of A3's
-    mid-scan early exit, python_hexhamming.cc:62-64), and normalized
-    similarity. All pure Catalyst codegen; no Python boundary."""
+    """The secondary string-scorer families (B6) computed over a REAL
+    similarity-join pair stream instead of round-3's artificial
+    adjacent-pair construction: candidate pairs come from the exact
+    PassJoin segment-blocked edit-distance self-join
+    (hexspark/ops/editjoin.py — pigeonhole: some segment of the shorter
+    string survives <= tau edits verbatim, so an equi-join on positioned
+    segments finds every pair within Levenshtein tau without all-pairs),
+    then each emitted pair carries the bounded Levenshtein distance (the
+    edit-distance analogue of A3's mid-scan early exit,
+    python_hexhamming.cc:62-64), vectorized Jaro-Winkler (oracled against
+    DuckDB's jaro_winkler_similarity), and normalized edit similarity.
+    One driver slot now hash-checks BOTH the comparator values and the
+    exactness of the segment-blocking join (the oracle is the brute-force
+    length-banded join — any missing or extra pair breaks the hash)."""
     from hexspark import columns as C
-    from hexspark.pipeline.scoring import edit_distance, edit_similarity
+    from hexspark.ops.editjoin import passjoin_pairs
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.substring("text", 1, 32).alias("c32"),
-        F.substring("text", 1, 40).alias("c40"),
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_name")
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    ca, cb = F.col("a.c40"), F.col("b.c40")
-    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
-        F.col("a.doc_id").alias("doc_id_a"),
-        F.col("b.doc_id").alias("doc_id_b"),
-        F.round(C.jaro_winkler(F.col("a.c32"), F.col("b.c32")), 6).alias("jw"),
-        edit_distance(ca, cb).cast("long").alias("lev"),
-        edit_distance(ca, cb, 12).cast("long").alias("lev_capped"),
-        F.round(edit_similarity(ca, cb), 6).alias("edit_sim"),
+    pairs = passjoin_pairs(cust, "c_custkey", "c_name", 2)
+    na = cust.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("nm_a"))
+    nb = cust.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nm_b"))
+    return (
+        pairs.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dist").cast("long").alias("dist"),
+            F.round(C.jaro_winkler(F.col("nm_a"), F.col("nm_b")), 6).alias("jw"),
+            F.round(
+                F.lit(1.0)
+                - F.col("dist") / F.greatest(F.length("nm_a"), F.length("nm_b")),
+                6,
+            ).alias("edit_sim"),
+        )
     )
 
 
@@ -2281,19 +2293,18 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
         "string_sim_pairs": """
-            WITH c AS (SELECT doc_id, substr(text, 1, 32) AS c32,
-                              substr(text, 1, 40) AS c40 FROM documents)
-            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   round(jaro_winkler_similarity(a.c32, b.c32), 6) AS jw,
-                   levenshtein(a.c40, b.c40)::BIGINT AS lev,
-                   (CASE WHEN levenshtein(a.c40, b.c40) <= 12
-                         THEN levenshtein(a.c40, b.c40) ELSE -1 END)::BIGINT
-                       AS lev_capped,
-                   round(CASE WHEN greatest(len(a.c40), len(b.c40)) = 0 THEN 1.0
-                              ELSE 1.0 - levenshtein(a.c40, b.c40)
-                                    / greatest(len(a.c40), len(b.c40)) END,
-                         6) AS edit_sim
-            FROM c a JOIN c b ON b.doc_id = a.doc_id + 1
+            -- brute-force oracle for the PassJoin segment-blocked join:
+            -- length-banded all-pairs + exact levenshtein gate
+            WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+                       WHERE c_custkey <= 300)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   levenshtein(a.nm, b.nm)::BIGINT AS dist,
+                   round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw,
+                   round(1.0 - levenshtein(a.nm, b.nm)::DOUBLE
+                             / greatest(len(a.nm), len(b.nm)), 6) AS edit_sim
+            FROM c a JOIN c b ON a.id < b.id
+                              AND abs(len(a.nm) - len(b.nm)) <= 2
+            WHERE levenshtein(a.nm, b.nm) <= 2
         """,
         "doc_profile": f"""
             WITH q AS (
