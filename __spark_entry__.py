@@ -813,33 +813,33 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way broadcast-dimension join + window top-k over the fact
-    table (SURVEY §2.4 joins/windows evidence on the driver's TPC-H-ish
-    tables): top-2 orders by price per BUILDING-segment customer, with the
-    nation name attached. Plan shape for 100 TB: orders is the large fact
-    scanned once; customer and nation are explicit broadcasts (no shuffle
-    of the fact for either join); the only exchange is the window's
-    hash-partition on custkey. Ties broken by orderkey so the result is
-    deterministic for the value-hash compare."""
+def q_fused_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over conflicting per-source claims
+    (hexspark/pipeline/fusion.py) — the data-fusion stage after clustering:
+    each order is a claim by source system ``o_orderkey % 7`` that customer
+    o_custkey's 'priority' attribute is o_orderpriority; two integer-exact
+    trust-weighted voting rounds resolve the conflicts, so sources that
+    side with consensus elsewhere carry tie-breaking weight. Replaces
+    round-3's plain window/broadcast demo slot (those plan shapes stay
+    hash-checked via event_sessions, mutual_best, bloom_prune_orders). All
+    BIGINT sums — no float vote shares, so the DuckDB replay matches
+    bit-for-bit. Plan: two hash aggregates per round plus one broadcast of
+    the 7-row trust table; winner is two combinable aggregates."""
+    from hexspark.pipeline.fusion import truth_discovery
+
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    claims = orders.select(
+        F.col("o_custkey").alias("entity"),
+        F.lit("priority").alias("attr"),
+        F.col("o_orderpriority").alias("value"),
+        F.concat(F.lit("sys"), (F.col("o_orderkey") % 7).cast("string")).alias(
+            "source"
+        ),
     )
-    return (
-        orders.join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
-            orders["o_custkey"] == cust["c_custkey"],
-        )
-        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 2)
-        .select(
-            "o_custkey", "c_name", "n_name", "o_orderkey", "o_totalprice", "rank"
-        )
+    resolved, _trust = truth_discovery(
+        claims, "entity", "attr", "value", "source", rounds=2
     )
+    return resolved
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1922,7 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "dedup_removed_docs": q_dedup_removed_docs,
-        "top_orders_per_customer": q_top_orders_per_customer,
+        "fused_truth": q_fused_truth,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "pairwise_f1": q_pairwise_f1,
@@ -2405,21 +2405,25 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM numbered GROUP BY user_id, session_seq
         """,
-        "top_orders_per_customer": """
-            WITH ranked AS (
-              SELECT o.o_custkey, c.c_name, n.n_name, o.o_orderkey,
-                     o.o_totalprice,
-                     row_number() OVER (
-                       PARTITION BY o.o_custkey
-                       ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
-                     ) AS rank
-              FROM orders o
-              JOIN customer c ON o.o_custkey = c.c_custkey
-              JOIN nation n ON c.c_nationkey = n.n_nationkey
-              WHERE c.c_mktsegment = 'BUILDING'
-            )
-            SELECT o_custkey, c_name, n_name, o_orderkey, o_totalprice, rank
-            FROM ranked WHERE rank <= 2
+        # integer-exact replay of the two trust-weighted voting rounds
+        "fused_truth": """
+            WITH c AS (
+              SELECT DISTINCT o_custkey AS entity, 'priority' AS attr,
+                     o_orderpriority AS value,
+                     'sys' || CAST(o_orderkey % 7 AS VARCHAR) AS source
+              FROM orders
+            ),
+            s0 AS (SELECT entity, attr, value, COUNT(*)::BIGINT AS votes
+                   FROM c GROUP BY 1, 2, 3),
+            t1 AS (SELECT source, SUM(votes)::BIGINT AS trust
+                   FROM c JOIN s0 USING (entity, attr, value) GROUP BY 1),
+            s1 AS (SELECT entity, attr, value, SUM(trust)::BIGINT AS votes
+                   FROM c JOIN t1 USING (source) GROUP BY 1, 2, 3),
+            top AS (SELECT entity, attr, MAX(votes) AS votes
+                    FROM s1 GROUP BY 1, 2)
+            SELECT entity, attr, MIN(value) AS value, votes
+            FROM s1 JOIN top USING (entity, attr, votes)
+            GROUP BY entity, attr, votes
         """,
         # DuckDB's native ASOF LEFT JOIN: greatest r.ts <= l.ts per key,
         # inclusive on equality — exactly the operator's contract

@@ -147,10 +147,27 @@ def test_embedding_neardup_dedup_is_hash_aggregate(spark):
 def test_top_orders_plan_broadcasts_both_dims(spark):
     """The multi-way dim join must broadcast customer and nation (the fact
     table is never shuffled for a join); the only hash-partition exchange
-    belongs to the window on custkey."""
-    import __spark_entry__ as entry
+    belongs to the window on custkey. (Built inline since round 4 — its
+    driver slot now hosts fused_truth — but the plan shape stays pinned.)"""
+    from pyspark.sql import Window
 
-    df = entry.queries()["top_orders_per_customer"](spark, "/root/testdata/sf0.001")
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    df = (
+        orders.join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select("o_custkey", "c_name", "n_name", "o_orderkey", "o_totalprice", "rank")
+    )
     plan = _plan(df)
     # formatted explain lists each operator in the tree AND the details
     # section; count the numbered details headers
