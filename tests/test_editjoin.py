@@ -95,3 +95,37 @@ def test_passjoin_long_path_has_no_cartesian(spark):
     n = out.count()
     brute = len(_brute(rows, 1))
     assert n == brute
+
+
+def test_hot_segment_cap_on_boilerplate_corpus(spark):
+    # 16-char shared boilerplate + 8 distinguishing chars, tau=2 ->
+    # segments 0/1 are corpus-wide hot, segment 2 spans the unique tail.
+    import itertools
+
+    tails = ["".join(t) for t in itertools.product("ab", repeat=4)][:14]
+    rows = [(i, "BOILERPLATE-HDR." + t * 2) for i, t in enumerate(tails)]
+    df = spark.createDataFrame(rows, "rid long, txt string")
+    exact = {
+        (r.id_a, r.id_b, r.dist)
+        for r in passjoin_pairs(df, "rid", "txt", 2).collect()
+    }
+    assert exact == _brute(rows, 2)  # lossless without the cap
+    capped = {
+        (r.id_a, r.id_b, r.dist)
+        for r in passjoin_pairs(df, "rid", "txt", 2, max_seg_df=4).collect()
+    }
+    assert capped <= exact  # the cap only prunes, never invents
+    # pairs whose distinguishing tail segment is rare (equal tails never
+    # happen here; dist-2 pairs share no tail segment key only when the
+    # edit falls inside every matching window) -- at least the pairs kept
+    # must all verify, and losses are exactly the hot-only-overlap pairs
+    for (a, b, d) in exact - capped:
+        assert d > 0  # only near-dup (not identical-segment) pairs may drop
+
+
+def test_cap_guard(spark):
+    df = spark.createDataFrame([(1, "abc")], "rid long, txt string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        passjoin_pairs(df, "rid", "txt", 2, max_seg_df=0)
