@@ -136,6 +136,14 @@ class PipelineConfig:
     # mode only — see run_incremental.
     drop_contained: bool = False
     containment_depth_cap: int = 256
+    # bootstrap merge confidence (pipeline/stability.py): when set, an
+    # edge_confidence stage table lands after edges with per-edge
+    # co-clustering counts over `stability_samples` deterministic edge
+    # subsamples — the review-queue signal for fragile single-path merges.
+    # Observational only (clusters are unaffected); None = off.
+    stability_samples: int | None = None
+    stability_keep_frac: float = 0.8
+    stability_seed: int = 7
 
 
 @dataclass
@@ -432,6 +440,29 @@ class Runner:
             )
 
         edges = self._run_stage(manifest, result, "edges", build_edges)
+
+        if cfg.stability_samples is not None:
+            from . import stability
+
+            # observational review artifact: per-edge bootstrap
+            # co-clustering counts (pipeline/stability.py) — fragile
+            # single-path merges concentrate near keep_frac * samples,
+            # path-redundant merges at samples. Never feeds clustering;
+            # composes with every mode. After an incremental fold the
+            # table is a sound LOWER bound (appends only add paths) —
+            # re-run this stage to refresh.
+            self._run_stage(
+                manifest,
+                result,
+                "edge_confidence",
+                lambda: stability.edge_stability(
+                    edges,
+                    n_samples=cfg.stability_samples,
+                    keep_frac=cfg.stability_keep_frac,
+                    seed=cfg.stability_seed,
+                    max_iter=cfg.cc_max_iter,
+                ),
+            )
 
         # with repair on, the raw transitive closure lands as clusters_raw
         # and "clusters" becomes the repaired partition two stages later

@@ -127,6 +127,14 @@ def main() -> None:
              "to the depth-cap prefix but stay lossless",
     )
     ap.add_argument(
+        "--stability-samples", type=int, default=None,
+        help="materialize an edge_confidence stage: per-edge bootstrap "
+             "co-clustering counts over this many deterministic edge "
+             "subsamples (pipeline/stability.py); observational review "
+             "signal for fragile single-path merges",
+    )
+    ap.add_argument("--stability-keep-frac", type=float, default=0.8)
+    ap.add_argument(
         "--incremental", action="store_true",
         help="treat --input as a NEW batch and fold it into the workdir's "
              "completed run (fingerprints only the batch, never re-scores "
@@ -178,6 +186,8 @@ def main() -> None:
         pivot_salt=args.pivot_salt,
         drop_contained=args.drop_contained,
         containment_depth_cap=args.containment_depth_cap,
+        stability_samples=args.stability_samples,
+        stability_keep_frac=args.stability_keep_frac,
     )
     runner = Runner(spark, args.workdir, cfg)
     result = (
