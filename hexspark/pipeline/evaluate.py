@@ -558,3 +558,68 @@ def per_pass_blocking_quality(
     return counts.crossJoin(n_true).select(
         "pass", "n_candidates", "n_covered", "n_true_matches"
     )
+
+
+def mutual_info_df(
+    clusters: DataFrame, truth: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """Information-theoretic partition agreement: normalized mutual
+    information and variation of information between the predicted
+    clustering and the ground-truth partition — the third agreement family
+    next to pairwise F1 (pair-counting) and B-cubed (element-centric), and
+    the one robust to the quadratic weighting both of those give
+    mega-clusters.
+
+    clusters(id_col, cluster_id) × truth(id_col, entity_id) → ONE row:
+      n_records, mi, h_pred, h_true, nmi, vi
+    with MI = Σ_ij (n_ij/n) ln(n·n_ij/(a_i·b_j)), entropies in nats,
+    NMI = MI / max(H_pred, H_true) (1.0 when both entropies are 0 — two
+    identical trivial partitions), VI = H_pred + H_true - 2·MI (a true
+    metric on partitions; 0 iff identical).
+
+    Plan shape: ONE contingency aggregate keyed on the (cluster, entity)
+    cell plus two marginal re-aggregations of those cells — the same
+    envelope as the ARI above. Cell counts are exact longs; the log terms
+    are evaluated per cell and summed as doubles, so the result is
+    float-deterministic only up to summation order — fine for pytest
+    pins and human dashboards, NOT wired into a cross-engine hash gate
+    (that is what the integer-exact ARI/B-cubed rows are for).
+    """
+    asg = clusters.select(id_col, "cluster_id").join(
+        truth.select(id_col, "entity_id"), id_col
+    )
+    cells = asg.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    a = cells.groupBy("cluster_id").agg(F.sum("o").alias("a"))
+    b = cells.groupBy("entity_id").agg(F.sum("o").alias("b"))
+    n = cells.agg(F.sum("o").alias("n"))
+    joined = cells.join(a, "cluster_id").join(b, "entity_id").crossJoin(n)
+    nd = F.col("n").cast("double")
+    mi_term = (F.col("o") / nd) * F.log(
+        nd * F.col("o") / (F.col("a") * F.col("b"))
+    )
+    agg = joined.groupBy().agg(
+        F.max("n").alias("n_records"),
+        F.sum(mi_term).alias("mi"),
+    )
+    h_pred = (
+        a.crossJoin(n)
+        .agg(F.sum((F.col("a") / nd) * -F.log(F.col("a") / nd)).alias("h_pred"))
+    )
+    h_true = (
+        b.crossJoin(n)
+        .agg(F.sum((F.col("b") / nd) * -F.log(F.col("b") / nd)).alias("h_true"))
+    )
+    one = agg.crossJoin(h_pred).crossJoin(h_true)
+    hmax = F.greatest("h_pred", "h_true")
+    nmi = F.when(hmax == 0, F.lit(1.0)).otherwise(F.col("mi") / hmax)
+    vi = F.col("h_pred") + F.col("h_true") - 2 * F.col("mi")
+    return one.select(
+        "n_records",
+        F.round("mi", 9).alias("mi"),
+        F.round("h_pred", 9).alias("h_pred"),
+        F.round("h_true", 9).alias("h_true"),
+        F.round(nmi, 9).alias("nmi"),
+        F.round(vi, 9).alias("vi"),
+    )
