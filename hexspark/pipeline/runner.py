@@ -144,6 +144,13 @@ class PipelineConfig:
     stability_samples: int | None = None
     stability_keep_frac: float = 0.8
     stability_seed: int = 7
+    # persistent entity ids (pipeline/identity.py): when on, an entity_ids
+    # stage maps every conv_id to a run-stable entity id (majority
+    # carry-over across batch re-runs and incremental folds; B9's
+    # min-member cluster_id churns under folds, entity ids must not) and
+    # an entity_retirements stage records ids absorbed by merges so
+    # consumers can tombstone.
+    persist_entity_ids: bool = False
 
 
 @dataclass
@@ -536,6 +543,33 @@ class Runner:
                     )
                 ),
             )
+
+        if cfg.persist_entity_ids:
+            from . import identity
+
+            clusters_final = result.tables["clusters"]
+            # fresh workdir -> bootstrap (prior=None mints new:<min id>);
+            # crash-retry after entity_ids landed -> prior = own output,
+            # and stable_entity_ids is a fixed point there (tested), so
+            # the retried retirements stage is correctly empty
+            prior = (
+                self.io.read("entity_ids")
+                if manifest["completed"].get("entity_ids")
+                and self.io.exists("entity_ids")
+                else None
+            )
+            self._run_stage(
+                manifest,
+                result,
+                "entity_ids",
+                lambda: identity.stable_entity_ids(clusters_final, prior)[0],
+            )
+            self._run_stage(
+                manifest,
+                result,
+                "entity_retirements",
+                lambda: identity.stable_entity_ids(clusters_final, prior)[1],
+            )
         return result
 
     def run_incremental(self, new_transcripts: DataFrame) -> PipelineResult:
@@ -597,6 +631,7 @@ class Runner:
         required = (
             ("signatures", "clusters")
             + (("triangles", "bridge_edges") if self.cfg.robust else ())
+            + (("entity_ids",) if self.cfg.persist_entity_ids else ())
             + (
                 ("canon_tf",)
                 if self.cfg.scoring_mode == "fs" and self.cfg.fs_tf_adjust
@@ -785,20 +820,41 @@ class Runner:
             self.io.append(new_tri, "triangles")
             self.io.write(bridges, "bridge_edges")
             self.io.write(merged, "clusters")
-            self.io.write(res["signatures"], "signatures")
             new_tri.unpersist()
         else:
             self.io.append(res["edges"], "edges")
             self.io.write(res["clusters"], "clusters")
-            self.io.write(res["signatures"], "signatures")
+        if cfg.persist_entity_ids:
+            # carry entity ids over the merged partition BEFORE the
+            # signatures write that arms the batch-overlap guard, so a
+            # crashed fold retries through this point: the entity_ids
+            # rewrite is a fixed point over its own output, and a
+            # duplicated retirements append is set-semantic for consumers
+            # (same contract as the edges append above). TableIO.write
+            # stages to a tmp dir, so reading entity_ids while replacing
+            # it is safe.
+            from . import identity
+
+            assignments, retirements = identity.stable_entity_ids(
+                self.io.read("clusters"), self.io.read("entity_ids")
+            )
+            # retirements FIRST: both plans lazily scan the CURRENT
+            # entity_ids files, and the assignments write ends in a
+            # directory swap that deletes them — appending retirements
+            # after the swap would read deleted files
+            self.io.append(retirements, "entity_retirements")
+            self.io.write(assignments, "entity_ids")
+        self.io.write(res["signatures"], "signatures")
         # release the intermediates incremental_update persisted — a
         # CacheManager entry is never freed without an explicit unpersist,
         # and a long-lived app folds many batches through this path
         for df in (res["edges"], res["new_signatures"]):
             df.unpersist()
         wall = timer.wall_ms()
-        stages = ("signatures", "clusters", "edges") + (
-            ("triangles", "bridge_edges") if cfg.robust else ()
+        stages = (
+            ("signatures", "clusters", "edges")
+            + (("triangles", "bridge_edges") if cfg.robust else ())
+            + (("entity_ids",) if cfg.persist_entity_ids else ())
         )
         for stage in stages:
             out = self.io.read(stage)
