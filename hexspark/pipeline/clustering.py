@@ -140,6 +140,108 @@ def _pivot_priority(col, salt: str):
     return F.concat(F.md5(F.concat(F.lit(salt), col)), col)
 
 
+def _greedy_mis_clusters(
+    orig: DataFrame, max_iter: int, what: str
+) -> tuple[DataFrame, int]:
+    """Shared engine for sequential-greedy clustering algorithms (pivot /
+    star): given priority-annotated edges ``orig(u, pu, v, pv)`` with
+    u != v and the priority strings a total order over nodes, return
+    (clusters(conv_id, cluster_id), rounds) for EXACTLY the sequential
+    greedy that visits nodes in ascending priority — an uncovered node
+    becomes a CENTER and covers its uncovered neighbors; every non-center
+    then joins its minimum-priority center neighbor (the center that
+    covered it first sequentially).
+
+    Centers are the lexicographically-first maximal independent set under
+    the priorities, computed in rounds (a node joins when its priority is
+    the minimum of its unresolved neighborhood; covered neighbors are
+    knocked OUT the same round but their assignment is deferred — see
+    pivot_components for why eager assignment would diverge from the
+    sequential answer). Each round is one node-keyed min aggregation + one
+    semi-join + two anti-joins; survivors are localCheckpoint()ed so the
+    loop's plan stays flat. Priorities ride along as columns, so callers
+    may derive them from joins (star: degree table) or pure expressions
+    (pivot) without changing the engine."""
+    orig = orig.localCheckpoint(eager=True)
+    all_nodes = (
+        orig.select("u").union(orig.select(F.col("v").alias("u"))).distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = orig
+    pivot_parts: list[DataFrame] = []
+    rounds = 0
+    while not cur.isEmpty():
+        rounds += 1
+        if rounds > max_iter:
+            raise RuntimeError(
+                f"{what} did not resolve within max_iter={max_iter} "
+                "rounds; raise max_iter (expected O(log n) rounds)"
+            )
+        # unionByName, not positional union: a USING join upstream can
+        # reorder columns and a positional union would silently destroy
+        # the symmetry (observed: left_anti joins put the key column first)
+        sym = cur.select("u", "pu", "v", "pv").unionByName(
+            cur.select(
+                F.col("v").alias("u"), F.col("pv").alias("pu"),
+                F.col("u").alias("v"), F.col("pu").alias("pv"),
+            )
+        )
+        pivots = (
+            sym.groupBy("u", "pu")
+            .agg(F.min("pv").alias("m_pri"))
+            .where(F.col("pu") < F.col("m_pri"))
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
+        pivot_parts.append(pivots)
+        knocked_out = (
+            sym.join(pivots, "u", "left_semi").select(F.col("v").alias("u"))
+        )
+        gone = pivots.unionByName(knocked_out).distinct().localCheckpoint(eager=True)
+        cur = (
+            cur.join(gone, "u", "left_anti")
+            .join(gone.select(F.col("u").alias("v")), "v", "left_anti")
+            .select("u", "pu", "v", "pv")  # USING joins move the key first
+            .localCheckpoint(eager=True)
+        )
+    # unresolved leftovers: all their neighbors were knocked OUT in earlier
+    # rounds, so they are in the lex-first MIS too (singleton-or-late
+    # centers)
+    mis = all_nodes
+    if pivot_parts:
+        early = pivot_parts[0]
+        for part in pivot_parts[1:]:
+            early = early.unionByName(part)
+        sym_all = orig.select("u", "v", "pv").unionByName(
+            orig.select(
+                F.col("v").alias("u"), F.col("u").alias("v"),
+                F.col("pu").alias("pv"),
+            )
+        )
+        # OUT = nodes adjacent to some center; everything else is IN
+        out_nodes = (
+            sym_all.join(early.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u")
+            .distinct()
+        )
+        mis = all_nodes.join(out_nodes, "u", "left_anti").localCheckpoint(eager=True)
+        # assign each OUT node to its minimum-priority center neighbor
+        assigned = (
+            sym_all.join(mis.select(F.col("u").alias("v")), "v", "left_semi")
+            .join(mis.select(F.col("u")), "u", "left_anti")
+            .groupBy("u")
+            .agg(F.min_by("v", F.col("pv")).alias("cluster_id"))
+        )
+        clusters = mis.select(
+            F.col("u").alias("conv_id"), F.col("u").alias("cluster_id")
+        ).unionByName(assigned.select(F.col("u").alias("conv_id"), "cluster_id"))
+    else:
+        clusters = all_nodes.select(
+            F.col("u").alias("conv_id"), F.col("u").alias("cluster_id")
+        )
+    return clusters, rounds
+
+
 def pivot_components(
     edges: DataFrame, salt: str = "", max_iter: int = 40
 ) -> tuple[DataFrame, int]:
@@ -197,88 +299,75 @@ def pivot_components(
     row; isolated input nodes are the caller's with_singletons job, as for
     connected_components.
     """
-    orig = (
+    annotated = (
         edges.select(F.col("conv_id_a").alias("u"), F.col("conv_id_b").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
-    )
-    all_nodes = (
-        orig.select("u").union(orig.select(F.col("v").alias("u"))).distinct()
-        .localCheckpoint(eager=True)
-    )
-    cur = orig
-    pivot_parts: list[DataFrame] = []
-    rounds = 0
-    while not cur.isEmpty():
-        rounds += 1
-        if rounds > max_iter:
-            raise RuntimeError(
-                f"pivot clustering did not resolve within max_iter={max_iter} "
-                "rounds; raise max_iter (expected O(log n) rounds)"
-            )
-        # unionByName, not positional union: a USING join upstream can
-        # reorder (u, v) and a positional union would silently destroy the
-        # symmetry (observed: left_anti joins put the key column first)
-        sym = cur.select("u", "v").unionByName(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        nbr = sym.select(
+        .select(
             "u", _pivot_priority(F.col("u"), salt).alias("pu"),
             "v", _pivot_priority(F.col("v"), salt).alias("pv"),
         )
-        pivots = (
-            nbr.groupBy("u", "pu")
-            .agg(F.min("pv").alias("m_pri"))
-            .where(F.col("pu") < F.col("m_pri"))
-            .select("u")
-            .localCheckpoint(eager=True)
-        )
-        pivot_parts.append(pivots)
-        knocked_out = (
-            sym.join(pivots, "u", "left_semi").select(F.col("v").alias("u"))
-        )
-        gone = pivots.unionByName(knocked_out).distinct().localCheckpoint(eager=True)
-        cur = (
-            cur.join(gone, "u", "left_anti")
-            .join(gone.select(F.col("u").alias("v")), "v", "left_anti")
-            .select("u", "v")  # USING joins move the key first — restore order
-            .localCheckpoint(eager=True)
-        )
-    # unresolved leftovers: all their neighbors were knocked OUT in earlier
-    # rounds, so they are in the lex-first MIS too (singleton-or-late pivots)
-    mis = all_nodes
-    if pivot_parts:
-        early = pivot_parts[0]
-        for part in pivot_parts[1:]:
-            early = early.unionByName(part)
-        # OUT = nodes adjacent to some pivot; everything else is IN
-        out_nodes = (
-            orig.select("u", "v")
-            .unionByName(orig.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .join(early.select(F.col("u").alias("v")), "v", "left_semi")
-            .select("u")
-            .distinct()
-        )
-        mis = all_nodes.join(out_nodes, "u", "left_anti").localCheckpoint(eager=True)
-        # assign each OUT node to its minimum-priority pivot neighbor
-        assigned = (
-            orig.select("u", "v")
-            .unionByName(orig.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .join(mis.select(F.col("u").alias("v")), "v", "left_semi")
-            .join(mis.select(F.col("u")), "u", "left_anti")
-            .groupBy("u")
-            .agg(
-                F.min_by("v", _pivot_priority(F.col("v"), salt)).alias("cluster_id")
-            )
-        )
-        clusters = mis.select(
-            F.col("u").alias("conv_id"), F.col("u").alias("cluster_id")
-        ).unionByName(assigned.select(F.col("u").alias("conv_id"), "cluster_id"))
-    else:
-        clusters = all_nodes.select(
-            F.col("u").alias("conv_id"), F.col("u").alias("cluster_id")
-        )
-    return clusters, rounds
+    )
+    return _greedy_mis_clusters(annotated, max_iter, "pivot clustering")
+
+
+def star_components(
+    edges: DataFrame, max_iter: int = 40
+) -> tuple[DataFrame, int]:
+    """Star clustering over the match edges (Aslam-Pelekhov-Rus, "The Star
+    Clustering Algorithm", JGAA 2004) — the degree-greedy member of the
+    center-style clustering family evaluated for duplicate detection by
+    Hassanzadeh et al. (VLDB'09) alongside transitive closure and pivot.
+
+    Semantics: EXACTLY the sequential greedy that visits nodes by
+    DESCENDING degree (ties by ascending id): an uncovered node becomes a
+    star CENTER and covers its uncovered match-neighbors; each satellite
+    then belongs to the highest-degree adjacent center (ties by id) — the
+    center that covered it first. Versus pivot's random order, degree
+    order puts cluster centers on the best-connected records, so star
+    centers double as high-quality canonical representatives, while
+    keeping pivot's precision bound: every cluster sits inside one node's
+    direct match-neighborhood, so a single false edge can never glue two
+    whole entities the way transitive closure does.
+
+    Distributed shape: identical to pivot_components — the sequential
+    center set is the lexicographically-first maximal independent set
+    under the (degree, id) priority, computed by the shared
+    _greedy_mis_clusters round engine. The only extra cost over pivot is
+    ONE degree aggregation over the deduplicated symmetric edge set and
+    one join to annotate endpoints with their priority (degrees are STATIC
+    — taken from the full input graph, per the original algorithm — so no
+    per-round recount). Degrees are encoded into the priority string as
+    zero-padded (10^18 - degree) so ascending string order = descending
+    degree; 10^18 caps the degree of any real graph and keeps the
+    arithmetic in exact long range.
+
+    edges(conv_id_a, conv_id_b) -> (clusters(conv_id, cluster_id), rounds);
+    cluster_id is the CENTER's conv_id. Isolated input nodes are the
+    caller's with_singletons job, as for connected_components.
+    """
+    und = (
+        edges.select(F.col("conv_id_a").alias("u"), F.col("conv_id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pri = sym.groupBy("u").agg(
+        F.concat(
+            F.format_string("%019d", F.lit(10**18) - F.count("*")),
+            F.lit("|"),
+            F.col("u"),
+        ).alias("p")
+    )
+    annotated = (
+        und.join(pri.select(F.col("u"), F.col("p").alias("pu")), "u")
+        .join(pri.select(F.col("u").alias("v"), F.col("p").alias("pv")), "v")
+        .select("u", "pu", "v", "pv")
+    )
+    return _greedy_mis_clusters(annotated, max_iter, "star clustering")
 
 
 def with_singletons(clusters: DataFrame, all_nodes: DataFrame) -> DataFrame:

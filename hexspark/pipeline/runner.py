@@ -110,12 +110,17 @@ class PipelineConfig:
     # (clustering.pivot_components) — every cluster sits inside one
     # pivot's direct match-neighborhood, so a false edge can pull in one
     # node but never glue two whole entities, at the cost of splitting
-    # long genuine match chains. A third precision lever next to robust
-    # (edge corroboration) and repair (post-hoc eviction); unlike those it
-    # emits no review queue — disagreements are priced into the partition.
+    # long genuine match chains. "star" = star clustering
+    # (clustering.star_components) — same neighborhood-bounded precision
+    # shape, but centers are chosen by DESCENDING DEGREE instead of a
+    # random permutation, so cluster ids land on the best-connected
+    # records (natural canonical representatives) and the partition is
+    # deterministic without a salt. Precision levers next to robust (edge
+    # corroboration) and repair (post-hoc eviction); unlike those they
+    # emit no review queue — disagreements are priced into the partition.
     # Mutually exclusive with robust/repair (each replaces the clusters
-    # stage its own way); batch-only (the pivot MIS is not monotone under
-    # edge appends — see run_incremental).
+    # stage its own way); batch-only (neither the pivot MIS nor the
+    # degree order is monotone under edge appends — see run_incremental).
     clustering_mode: str = "cc"
     pivot_salt: str = ""
     # exact containment pre-dedup (pipeline/align.py): before assembly,
@@ -199,18 +204,18 @@ class Runner:
                 "meta_prune requires wide_pairs=True (the CBS weight is "
                 "computed from the carried signature chunks)"
             )
-        if self.cfg.clustering_mode not in ("cc", "pivot"):
+        if self.cfg.clustering_mode not in ("cc", "pivot", "star"):
             raise ValueError(
-                "clustering_mode must be 'cc' or 'pivot' "
+                "clustering_mode must be 'cc', 'pivot', or 'star' "
                 f"(got {self.cfg.clustering_mode!r})"
             )
-        if self.cfg.clustering_mode == "pivot" and (
+        if self.cfg.clustering_mode != "cc" and (
             self.cfg.robust or self.cfg.repair_min_avg is not None
         ):
             raise ValueError(
-                "clustering_mode='pivot' is its own precision mode and does "
-                "not compose with robust or repair_min_avg — pick one "
-                "precision lever per run"
+                f"clustering_mode={self.cfg.clustering_mode!r} is its own "
+                "precision mode and does not compose with robust or "
+                "repair_min_avg — pick one precision lever per run"
             )
         if self.cfg.drop_contained and self.cfg.containment_depth_cap < 1:
             raise ValueError(
@@ -315,8 +320,8 @@ class Runner:
         def attach_contained(clusters_df: DataFrame) -> DataFrame:
             """Union dropped conversations back in, assigned to their
             representative's cluster; in cc mode re-canonicalize
-            cluster_id = min member id (B9 invariant). In pivot mode the
-            pivot keeps naming the cluster (it remains a member)."""
+            cluster_id = min member id (B9 invariant). In pivot/star mode
+            the center keeps naming the cluster (it remains a member)."""
             if contained is None:
                 return clusters_df
             from pyspark.sql import Window
@@ -514,6 +519,10 @@ class Runner:
                     cl, rounds = clustering.pivot_components(
                         edges, salt=cfg.pivot_salt, max_iter=cfg.cc_max_iter
                     )
+                elif cfg.clustering_mode == "star":
+                    cl, rounds = clustering.star_components(
+                        edges, max_iter=cfg.cc_max_iter
+                    )
                 else:
                     cl, rounds = clustering.connected_components(
                         edges, max_iter=cfg.cc_max_iter
@@ -599,17 +608,19 @@ class Runner:
                 "is not monotone under new edges (re-admission is possible)."
                 " Re-run the batch pipeline to re-repair."
             )
-        if self.cfg.clustering_mode == "pivot":
-            # the pivot set is the lex-first MIS of the WHOLE match graph:
-            # one new edge can depose an existing pivot and re-deal its
-            # entire neighborhood, so — unlike the CC merge, where new
-            # edges only ever union components — there is no sound
-            # batch-proportional fold. Re-run the batch pipeline; its
-            # materialized edges stage makes re-clustering cheap.
+        if self.cfg.clustering_mode != "cc":
+            # the pivot/star center set is the lex-first MIS of the WHOLE
+            # match graph under its priority order: one new edge can depose
+            # an existing center (and in star mode also shift DEGREES,
+            # reordering priorities globally) and re-deal its entire
+            # neighborhood, so — unlike the CC merge, where new edges only
+            # ever union components — there is no sound batch-proportional
+            # fold. Re-run the batch pipeline; its materialized edges stage
+            # makes re-clustering cheap.
             raise ValueError(
-                "run_incremental does not support clustering_mode='pivot': "
-                "the pivot MIS is not monotone under new edges. Re-run the "
-                "batch pipeline."
+                "run_incremental does not support clustering_mode="
+                f"{self.cfg.clustering_mode!r}: the greedy center set is "
+                "not monotone under new edges. Re-run the batch pipeline."
             )
         if self.cfg.drop_contained:
             # a new batch can CONTAIN an old conversation (the old one is

@@ -100,12 +100,15 @@ def main() -> None:
              "the evicted_nodes review-queue stage table (batch mode only)",
     )
     ap.add_argument(
-        "--clustering-mode", choices=["cc", "pivot"], default="cc",
+        "--clustering-mode", choices=["cc", "pivot", "star"], default="cc",
         help="clusters stage algorithm: 'cc' = transitive closure (max "
              "recall), 'pivot' = parallel KwikCluster correlation "
              "clustering — clusters bounded by one pivot's direct match-"
              "neighborhood, so a single false edge cannot glue two whole "
-             "entities (batch mode only)",
+             "entities (batch mode only), 'star' = star clustering — same "
+             "neighborhood bound but centers picked by descending degree, "
+             "so cluster ids land on the best-connected records (batch "
+             "mode only)",
     )
     ap.add_argument(
         "--pivot-salt", default="",
