@@ -528,3 +528,97 @@ def phonetic_pairs(
         .where(F.col(out_a) < F.col(out_b))
         .select(out_a, out_b, "phonetic_key")
     )
+
+
+def suffix_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_suffix_len: int = 6,
+    max_key_len: int = 12,
+) -> DataFrame:
+    """(rec_id, suffix_key) — every suffix of length >= ``min_suffix_len``
+    of the record's canonical blocking key (lowercased alphanumeric,
+    truncated to ``max_key_len``), one row per suffix.
+
+    Suffix blocking (Aizawa & Oyama's suffix-array method, the fifth
+    classical blocking family next to LSH banding, sorted neighborhood,
+    token, and phonetic passes): two records co-block iff their keys share
+    ANY sufficiently long suffix, which makes the pass robust to
+    key-PREFIX corruption — a prepended greeting, a dropped honorific, an
+    OCR error in the first characters — exactly where prefix-anchored keys
+    (canon prefix, SNM sort keys) are blind. Per record the pass emits at
+    most ``max_key_len - min_suffix_len + 1`` keys (7 at the defaults), so
+    the inverted index is linear in the corpus.
+
+    Everything is codegen: one regexp canonicalization, one
+    sequence+transform building the suffix array in-row, one explode.
+    Records whose key is shorter than ``min_suffix_len`` emit nothing (an
+    unblockable value should produce no pairs)."""
+    if min_suffix_len < 1:
+        raise ValueError("min_suffix_len must be >= 1")
+    if max_key_len < min_suffix_len:
+        raise ValueError("max_key_len must be >= min_suffix_len")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+        1,
+        max_key_len,
+    )
+    n = F.length(key)
+    sufs = F.when(
+        n >= F.lit(min_suffix_len),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(min_suffix_len) + F.lit(1)),
+            lambda i: F.substring(key, i, F.lit(max_key_len)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("rec_id"), F.explode(sufs).alias("suffix_key")
+    )
+
+
+def suffix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_suffix_len: int = 6,
+    max_key_len: int = 12,
+    max_block_size: int = 50,
+    out_a: str = "conv_id_a",
+    out_b: str = "conv_id_b",
+) -> DataFrame:
+    """Candidate pairs from a suffix blocking pass: self equi-join on the
+    suffix key with ``id_a < id_b``.
+
+    ``max_block_size`` drops suffixes whose block exceeds the cap BEFORE
+    the join (the Aizawa-Oyama "maximum block size" rule — ultra-common
+    suffixes carry no discriminating signal and would cost O(freq^2)
+    pairs); a pair sharing both a rare long suffix and a hot short one is
+    still emitted through the rare one. Because shared suffixes nest (keys
+    agreeing on their last k characters share k - min_suffix_len + 1
+    keys), the pair stream is deduplicated with ONE groupBy on the pair
+    key — the same exchange any candidate stream needs — keeping the
+    longest surviving shared suffix as provenance.
+
+    Emits (out_a, out_b, suffix_key, n_shared_suffixes) — feed into
+    union_candidates as one pass of a multi-pass blocker."""
+    keyed = suffix_keys(df, id_col, text_col, min_suffix_len, max_key_len)
+    if max_block_size is not None:
+        ok = (
+            keyed.groupBy("suffix_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= F.lit(int(max_block_size)))
+            .select("suffix_key")
+        )
+        keyed = keyed.join(ok, "suffix_key", "left_semi")
+    a = keyed.select(F.col("suffix_key"), F.col("rec_id").alias(out_a))
+    b = keyed.select(F.col("suffix_key"), F.col("rec_id").alias(out_b))
+    return (
+        a.join(b, "suffix_key")
+        .where(F.col(out_a) < F.col(out_b))
+        .groupBy(out_a, out_b)
+        .agg(
+            F.max_by("suffix_key", F.length("suffix_key")).alias("suffix_key"),
+            F.count(F.lit(1)).alias("n_shared_suffixes"),
+        )
+    )
