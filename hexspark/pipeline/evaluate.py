@@ -318,6 +318,88 @@ def linkage_quality_df(
     )
 
 
+def muc_df(
+    clusters: DataFrame, truth: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """MUC link-based coreference score (Vilain et al., MUC-6 1995) of a
+    clustering against ground-truth entity labels — the classic
+    minimum-link metric of the coreference literature, a natural fit for
+    conversation-identity evaluation and a different lens from B-cubed
+    (per-record) and pairwise F1 (per-pair): MUC charges one unit per
+    MISSING LINK needed to stitch a true entity back together, so it is
+    insensitive to entity size but blind to singletons.
+
+    clusters(id_col, cluster_id) × truth(id_col, entity_id) → ONE row
+    (n_records, muc_recall_num, muc_recall_den, muc_precision_num,
+    muc_precision_den, muc_precision, muc_recall, muc_f1).
+
+    Definition: recall = Σ_k (|k| - m(k)) / Σ_k (|k| - 1) over true
+    entities k, where m(k) = number of system clusters k's members land
+    in; precision is the same with the roles swapped. Both reduce to the
+    contingency cells (one row per non-empty cluster×entity cell, at most
+    one per record): per entity, |k| = Σ o and m(k) = cell count — so the
+    whole metric is ONE groupBy building the cells plus two scalar
+    aggregates. Shuffle volume O(records), output a scalar; the plan
+    survives a billion-record clustering unchanged.
+
+    Determinism: all four numerators/denominators are exact longs emitted
+    alongside the scores; each score is one IEEE division of two exact
+    longs — bit-identical on any engine, no order-dependent float
+    accumulation. Singleton-only inputs give 0/0 → score defined as 1.0
+    (nothing to link, nothing wrong). Records missing from either side
+    are dropped (inner join), as for bcubed_df."""
+    asg = clusters.select(id_col, "cluster_id").join(
+        truth.select(id_col, "entity_id"), id_col
+    )
+    cells = asg.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    by_entity = cells.groupBy("entity_id").agg(
+        F.sum("o").alias("sz"), F.count(F.lit(1)).alias("m")
+    )
+    by_cluster = cells.groupBy("cluster_id").agg(
+        F.sum("o").alias("sz"), F.count(F.lit(1)).alias("m")
+    )
+    rec = by_entity.agg(
+        F.sum("sz").alias("n_records"),
+        F.sum(F.col("sz") - F.col("m")).alias("muc_recall_num"),
+        F.sum(F.col("sz") - F.lit(1)).alias("muc_recall_den"),
+    )
+    pre = by_cluster.agg(
+        F.sum(F.col("sz") - F.col("m")).alias("muc_precision_num"),
+        F.sum(F.col("sz") - F.lit(1)).alias("muc_precision_den"),
+    )
+    one = rec.crossJoin(pre)  # two one-row frames
+
+    def _score(num: str, den: str):
+        return F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+        ).otherwise(F.lit(1.0))
+
+    out = one.withColumn(
+        "muc_precision", _score("muc_precision_num", "muc_precision_den")
+    ).withColumn("muc_recall", _score("muc_recall_num", "muc_recall_den"))
+    return out.withColumn(
+        "muc_f1",
+        F.when(
+            F.col("muc_precision") + F.col("muc_recall") > 0,
+            2
+            * F.col("muc_precision")
+            * F.col("muc_recall")
+            / (F.col("muc_precision") + F.col("muc_recall")),
+        ).otherwise(F.lit(0.0)),
+    ).select(
+        "n_records",
+        "muc_recall_num",
+        "muc_recall_den",
+        "muc_precision_num",
+        "muc_precision_den",
+        "muc_precision",
+        "muc_recall",
+        "muc_f1",
+    )
+
+
 def adjusted_rand_index_df(
     clusters: DataFrame, truth: DataFrame, id_col: str = "conv_id"
 ) -> DataFrame:
