@@ -467,6 +467,90 @@ def adjusted_rand_index_df(
     )
 
 
+def blanc_df(
+    clusters: DataFrame, truth: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """BLANC (Recasens & Hovy 2011) — the bilateral Rand-style coreference
+    score: F1 over coreferent pairs and F1 over NON-coreferent pairs,
+    averaged. Completes the coreference metric suite next to MUC (link-
+    based, singleton-blind), B-cubed (per-record), and ARI (chance-
+    corrected): BLANC is the one that explicitly credits keeping separate
+    records separate.
+
+    clusters(id_col, cluster_id) × truth(id_col, entity_id) → ONE row
+    (n_records, blanc_fc, blanc_fn, blanc).
+
+    Every pair count derives from the same contingency cells as ARI:
+    tp = Σ_cells C(o,2); system links = Σ_clusters C(size,2); truth links
+    = Σ_entities C(size,2); agreed non-links = C(n,2) - links_r - links_k
+    + tp. The marginal sums are exact longs; C(n,2) and the non-link
+    arithmetic run in DECIMAL(38,0) — a BIGINT C(n,2) overflows at ~4.3e9
+    records, within this repo's design scale — and only the final one-row
+    ratio expressions touch doubles. Degenerate sides follow the
+    reference scorer's conventions: a side with no key links (or no key
+    non-links) contributes only the other side's F; if both sides are
+    empty BLANC is 1.0 when the partitions agree trivially."""
+    asg = clusters.select(id_col, "cluster_id").join(
+        truth.select(id_col, "entity_id"), id_col
+    )
+    cells = asg.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+
+    def comb2(col: str):
+        return F.expr(f"{col} * ({col} - 1L) div 2")
+
+    core = cells.agg(
+        F.sum("o").alias("n_records"),
+        F.sum(comb2("o")).alias("tp"),
+    )
+    links_r = (
+        cells.groupBy("cluster_id")
+        .agg(F.sum("o").alias("sz"))
+        .agg(F.sum(comb2("sz")).alias("links_r"))
+    )
+    links_k = (
+        cells.groupBy("entity_id")
+        .agg(F.sum("o").alias("sz"))
+        .agg(F.sum(comb2("sz")).alias("links_k"))
+    )
+    one = core.crossJoin(links_r).crossJoin(links_k)
+    dec = "decimal(38,0)"
+    n = F.col("n_records").cast(dec)
+    total = (n * (n - F.lit(1).cast(dec))) / F.lit(2).cast(dec)
+    lr = F.col("links_r").cast(dec)
+    lk = F.col("links_k").cast(dec)
+    tp = F.col("tp").cast(dec)
+    tn = total - lr - lk + tp  # exact: inclusion-exclusion over pairs
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    pc, rc = ratio(tp, lr), ratio(tp, lk)
+    fc = F.when(pc + rc > 0, 2 * pc * rc / (pc + rc)).otherwise(
+        F.when(lr + lk > 0, F.lit(0.0))
+    )
+    nr, nk = total - lr, total - lk
+    pn, rn = ratio(tn, nr), ratio(tn, nk)
+    fn = F.when(pn + rn > 0, 2 * pn * rn / (pn + rn)).otherwise(
+        F.when(nr + nk > 0, F.lit(0.0))
+    )
+    # reference-scorer convention: average the defined sides; if neither
+    # side has any key/response pair mass, the score is trivially 1.0
+    blanc = (
+        F.when(fc.isNotNull() & fn.isNotNull(), (fc + fn) / 2)
+        .when(fc.isNotNull(), fc)
+        .when(fn.isNotNull(), fn)
+        .otherwise(F.lit(1.0))
+    )
+    return one.select(
+        "n_records",
+        F.round(fc, 6).alias("blanc_fc"),
+        F.round(fn, 6).alias("blanc_fn"),
+        F.round(blanc, 6).alias("blanc"),
+    )
+
+
 def pairwise_f1(
     labeled_pairs: DataFrame,
     clusters: DataFrame,
