@@ -262,3 +262,54 @@ def test_token_blocking_has_no_self_join(spark):
         r"\n\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
     )
     assert len(joins) == 1, joins
+
+
+def test_suffix_pairs_no_cartesian_and_cap_before_join(spark):
+    """suffix_pairs pairs via the suffix-key equi-join only: no cartesian
+    or broadcast-nested-loop anywhere, and the hot-block cap is applied
+    BEFORE the self-join (a semi-join of the keyed stream against the
+    per-key counts, not a post-join filter)."""
+    from hexspark.pipeline.blocking import suffix_pairs
+
+    docs = spark.createDataFrame(
+        [(f"r{i}", f"record-handle-{i % 7}x{i}") for i in range(50)],
+        "rec_id string, name string",
+    )
+    plan = _plan(suffix_pairs(docs, "rec_id", "name"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cap's semi-join sits below the pair join: a LeftSemi join exists
+    assert "LeftSemi" in plan
+
+
+def test_hac_python_is_one_grouped_pandas_stage(spark):
+    """hac_components confines Python to exactly ONE grouped applyInPandas
+    operator (FlatMapGroupsInPandas) keyed on the component — the closure,
+    the component sizing, and the cap routing all stay JVM-side."""
+    from hexspark.pipeline.hac import hac_components
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"a{i+1}", 5.0) for i in range(6)]
+        + [(f"b{i}", f"b{i+1}", 5.0) for i in range(6)],
+        "conv_id_a string, conv_id_b string, dist double",
+    )
+    plan = _plan(hac_components(edges, threshold=10.0))
+    assert len(re.findall(r"\n\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    # Python never touches the inexact fallback branch
+    assert "BatchEvalPython" not in plan
+
+
+def test_kcore_round_is_node_keyed_only(spark):
+    """One k-core peel round never exchanges on pair content: every
+    hash-exchange key in the surviving-edge plan is a node id column
+    (u or v), not a struct of both."""
+    from hexspark.ops.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i in range(8) for j in range(i + 1, 8)],
+        "id_a string, id_b string",
+    )
+    nodes, core_edges, _ = k_core(edges, 3)
+    plan = _plan(core_edges)
+    for key in re.findall(r"hashpartitioning\(([^,]+),", plan):
+        assert key.split("#")[0].strip() in ("u", "v"), key
