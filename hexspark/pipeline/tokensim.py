@@ -129,3 +129,122 @@ def monge_elkan_gate(
     return scored.where(
         (F.col("me_n_a") > 0) & (F.col("me_n_b") > 0) & (lhs >= rhs)
     )
+
+
+def tfidf_weight_arrays(
+    docs: DataFrame,
+    id_col: str,
+    text: Column,
+    out_col: str = "wtoks",
+) -> DataFrame:
+    """(id, <out_col>: array<struct<token, w>>) — each record's distinct
+    tokens with L2-NORMALIZED idf weights, the per-record vector SoftTFIDF
+    consumes. With distinct tokens TF = 1, so Cohen's V(w,S) =
+    log(TF+1)·log(IDF) collapses to a constant times ln(N/df) — and the
+    constant cancels under the L2 norm, leaving w = ln(N/df) / ||·||.
+    Corpus-wide ubiquitous tokens (df = N) get weight 0; a record made
+    only of those gets an all-zero vector (norm guard). The doc count
+    rides a one-row broadcast cross join (no driver action), df is one
+    map-side-combinable aggregate; arrays are token-sorted so downstream
+    left-folds are order-deterministic."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(text))).alias("token")
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    weighted = (
+        toks.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_v", F.log(F.col("_n") / F.col("_df")))
+    )
+    arr = weighted.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("token", "_v"))).alias("_a"),
+        F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_norm"),
+    )
+    return arr.select(
+        F.col(id_col),
+        F.transform(
+            "_a",
+            lambda x: F.struct(
+                x["token"].alias("token"),
+                F.when(F.col("_norm") > 0, x["_v"] / F.col("_norm"))
+                .otherwise(F.lit(0.0))
+                .alias("w"),
+            ),
+        ).alias(out_col),
+    )
+
+
+def _soft_tfidf_dir(arr_a: Column, arr_b: Column, theta_milli: int) -> Column:
+    """SoftTFIDF in one direction: sum over A's tokens whose best
+    character-level match in B clears theta of
+    w_a · w_best · sim/1000. Ties on sim break toward the larger w (the
+    product is what matters; equal (sim, w) pairs give equal terms)."""
+
+    def term(x):
+        best = F.array_max(
+            F.transform(
+                arr_b,
+                lambda y: F.struct(
+                    inner_sim_milli(x["token"], y["token"]).alias("sim"),
+                    y["w"].alias("w"),
+                ),
+            )
+        )
+        return F.when(
+            best["sim"] >= F.lit(theta_milli),
+            x["w"] * best["w"] * (best["sim"] / F.lit(1000.0)),
+        ).otherwise(F.lit(0.0))
+
+    return F.when(
+        (F.size(arr_a) > 0) & (F.size(arr_b) > 0),
+        F.aggregate(arr_a, F.lit(0.0), lambda acc, x: acc + term(x)),
+    ).otherwise(F.lit(0.0))
+
+
+def soft_tfidf(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_a: str,
+    id_b: str,
+    id_col: str,
+    text: Column,
+    theta_milli: int = 900,
+    prefix: str = "st",
+) -> DataFrame:
+    """Append SoftTFIDF columns (Cohen, Ravikumar & Fienberg 2003 — the
+    hybrid comparator that fixed both failure modes at once: pure token
+    measures miss per-token typos, pure character measures drown a typo'd
+    token in unrelated context) to a candidate-pair frame:
+
+    * ``{prefix}_ab``: Σ over A-tokens with a Levenshtein-milli best match
+      >= theta_milli in B of w_A(t) · w_B(best) · sim/1000, with
+      L2-normalized idf weights from tfidf_weight_arrays — 1.0 for
+      identical token sets, 0 for disjoint ones, rare-token agreement
+      counting far above stopword agreement.
+    * ``{prefix}_ba``: the reverse direction (the measure is asymmetric;
+      symmetric consumers average at the edge).
+
+    Plan: two equi-joins attaching the weight arrays to the pair frame
+    (record-id keyed), then a pure codegen nested-HOF expression — the
+    same no-explode no-Python shape as monge_elkan. Float output (the idf
+    logs), so pytest-pinned rather than hash-gated, like NMI."""
+    arrs = tfidf_weight_arrays(docs, id_col, text)
+    wa = arrs.select(F.col(id_col).alias(id_a), F.col("wtoks").alias("_wa"))
+    wb = arrs.select(F.col(id_col).alias(id_b), F.col("wtoks").alias("_wb"))
+    # left joins: a tokenless record has no weight row, but its PAIRS must
+    # survive with score 0 (this appends columns, it must not drop rows);
+    # the size() guard in _soft_tfidf_dir turns the NULL array into 0.0
+    return (
+        pairs.join(wa, id_a, "left")
+        .join(wb, id_b, "left")
+        .withColumn(
+            f"{prefix}_ab",
+            _soft_tfidf_dir(F.col("_wa"), F.col("_wb"), theta_milli),
+        )
+        .withColumn(
+            f"{prefix}_ba",
+            _soft_tfidf_dir(F.col("_wb"), F.col("_wa"), theta_milli),
+        )
+        .drop("_wa", "_wb")
+    )
