@@ -133,3 +133,102 @@ def sorted_neighborhood_pairs(
             gap.cast("int").alias("rank_gap"),
         )
     )
+
+
+def adaptive_snm_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    min_sim_milli: int = 800,
+    max_block: int | None = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adaptive sorted-neighborhood (the Yan et al. 2007 refinement of
+    fixed-window SNM): instead of pairing every record with its w-1 rank
+    neighbors, cut the sorted order INTO SEGMENTS wherever two ADJACENT
+    sort keys stop looking alike (normalized Levenshtein milli-similarity
+    < ``min_sim_milli``), and pair exactly within segments. Dense
+    duplicate runs longer than any fixed window stay together; sparse
+    regions produce no filler pairs — the window adapts to the data
+    instead of being a corpus-wide compromise.
+
+    Returns (<id_col>_a, <id_col>_b, segment_id, segment_size), each pair
+    once (lower id on the a-side); segment_id is the segment's ordinal in
+    sort order. ``max_block`` drops segments larger than the cap whole
+    (a mega-segment means the sort key itself is degenerate there — same
+    honest-cap discipline as every other pass; the dropped segments are
+    visible as missing segment ids).
+
+    Scale shape: one scalable global rank (range exchange, never a
+    single-partition window), one rank-keyed self-join for adjacent-pair
+    similarity (codegen levenshtein), then the segment ids come from a
+    distributed RUNNING SUM of boundary flags built with the same
+    three-step trick as global_rank (range-partition by rank → tiny
+    per-partition totals → broadcast offsets + per-partition window);
+    pair generation is one equi-join on segment_id."""
+    if not 0 < min_sim_milli <= 1000:
+        raise ValueError(
+            f"min_sim_milli must be in (0, 1000], got {min_sim_milli}"
+        )
+    ranked = global_rank(
+        df.select(F.col(id_col), key.alias("_k")),
+        [F.asc("_k"), F.asc(id_col)],
+        num_partitions=num_partitions,
+    )
+    prev = ranked.select(
+        (F.col(_RANK) + 1).alias(_RANK), F.col("_k").alias("_k_prev")
+    )
+    maxlen = F.greatest(F.length("_k"), F.length("_k_prev"))
+    sim = F.when(maxlen == 0, F.lit(1000)).otherwise(
+        F.lit(1000)
+        - F.floor((F.lit(1000) * F.levenshtein("_k", "_k_prev")) / maxlen)
+    )
+    flagged = (
+        ranked.join(prev, _RANK, "left")
+        .withColumn(
+            "_boundary",
+            F.when(F.col("_k_prev").isNull(), F.lit(0))  # rank 0
+            .when(sim < F.lit(min_sim_milli), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_k_prev")
+    )
+    # distributed running sum of boundary flags = segment id
+    parts = flagged.repartitionByRange(F.asc(_RANK)).withColumn(
+        _PART, F.spark_partition_id()
+    )
+    totals = parts.groupBy(_PART).agg(F.sum("_boundary").alias("_t"))
+    offs = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_t").over(
+                Window.orderBy(_PART).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select(_PART, "_off")
+    segw = Window.partitionBy(_PART).orderBy(_RANK)
+    seg = (
+        parts.join(F.broadcast(offs), _PART)
+        .withColumn(
+            "segment_id", F.sum("_boundary").over(segw) + F.col("_off")
+        )
+        .select(id_col, "segment_id")
+    )
+    sizes = seg.groupBy("segment_id").agg(
+        F.count(F.lit(1)).alias("segment_size")
+    )
+    if max_block is not None:
+        sizes = sizes.where(F.col("segment_size") <= F.lit(int(max_block)))
+    keep = seg.join(sizes, "segment_id")
+    a = keep.select(
+        "segment_id", "segment_size", F.col(id_col).alias(f"{id_col}_a")
+    )
+    b = keep.select("segment_id", F.col(id_col).alias(f"{id_col}_b"))
+    return (
+        a.join(b, "segment_id")
+        .where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b", "segment_id", "segment_size")
+    )
