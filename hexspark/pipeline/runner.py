@@ -115,14 +115,23 @@ class PipelineConfig:
     # shape, but centers are chosen by DESCENDING DEGREE instead of a
     # random permutation, so cluster ids land on the best-connected
     # records (natural canonical representatives) and the partition is
-    # deterministic without a salt. Precision levers next to robust (edge
-    # corroboration) and repair (post-hoc eviction); unlike those they
-    # emit no review queue — disagreements are priced into the partition.
-    # Mutually exclusive with robust/repair (each replaces the clusters
-    # stage its own way); batch-only (neither the pivot MIS nor the
-    # degree order is monotone under edge appends — see run_incremental).
+    # deterministic without a salt. "hac" = component-local exact
+    # average-linkage agglomerative clustering (hac.hac_components) cut at
+    # hac_threshold (default max_dist) over the edges' hamming_dist —
+    # refuses chained merges whose MEAN cross distance fails the cut,
+    # splitting glued entities by pricing rather than structure.
+    # Precision levers next to robust (edge corroboration) and repair
+    # (post-hoc eviction); unlike those they emit no review queue —
+    # disagreements are priced into the partition. Mutually exclusive
+    # with robust/repair (each replaces the clusters stage its own way);
+    # batch-only (none of these partitions is monotone under edge
+    # appends — see run_incremental).
     clustering_mode: str = "cc"
     pivot_salt: str = ""
+    # hac mode: distance cut (None -> max_dist), and the honest-cap
+    # component bound forwarded to hac.hac_components
+    hac_threshold: float | None = None
+    hac_max_component: int = 500
     # exact containment pre-dedup (pipeline/align.py): before assembly,
     # drop conversations that are strict turn-level prefixes of another
     # conversation (resumed sessions) or exact duplicates (min-id copy
@@ -204,9 +213,9 @@ class Runner:
                 "meta_prune requires wide_pairs=True (the CBS weight is "
                 "computed from the carried signature chunks)"
             )
-        if self.cfg.clustering_mode not in ("cc", "pivot", "star"):
+        if self.cfg.clustering_mode not in ("cc", "pivot", "star", "hac"):
             raise ValueError(
-                "clustering_mode must be 'cc', 'pivot', or 'star' "
+                "clustering_mode must be 'cc', 'pivot', 'star', or 'hac' "
                 f"(got {self.cfg.clustering_mode!r})"
             )
         if self.cfg.clustering_mode != "cc" and (
@@ -319,9 +328,11 @@ class Runner:
 
         def attach_contained(clusters_df: DataFrame) -> DataFrame:
             """Union dropped conversations back in, assigned to their
-            representative's cluster; in cc mode re-canonicalize
-            cluster_id = min member id (B9 invariant). In pivot/star mode
-            the center keeps naming the cluster (it remains a member)."""
+            representative's cluster; in cc/hac mode re-canonicalize
+            cluster_id = min member id (B9 invariant — HAC reps are min
+            members too, and a reattached conv_id can undercut them). In
+            pivot/star mode the center keeps naming the cluster (it
+            remains a member)."""
             if contained is None:
                 return clusters_df
             from pyspark.sql import Window
@@ -333,7 +344,7 @@ class Runner:
                 "rep_id",
             ).select("conv_id", "cluster_id")
             full = clusters_df.unionByName(reattached)
-            if cfg.clustering_mode == "cc":
+            if cfg.clustering_mode in ("cc", "hac"):
                 w = Window.partitionBy("cluster_id")
                 full = full.withColumn("cluster_id", F.min("conv_id").over(w))
             return full
@@ -523,6 +534,22 @@ class Runner:
                     cl, rounds = clustering.star_components(
                         edges, max_iter=cfg.cc_max_iter
                     )
+                elif cfg.clustering_mode == "hac":
+                    from . import hac
+
+                    thr = (
+                        float(cfg.hac_threshold)
+                        if cfg.hac_threshold is not None
+                        else float(cfg.max_dist)
+                    )
+                    cl = hac.hac_components(
+                        edges,
+                        threshold=thr,
+                        dist_col="hamming_dist",
+                        max_component=cfg.hac_max_component,
+                        cc_max_iter=cfg.cc_max_iter,
+                    ).select("conv_id", "cluster_id")
+                    rounds = 0  # HAC runs its own internal closure
                 else:
                     cl, rounds = clustering.connected_components(
                         edges, max_iter=cfg.cc_max_iter
@@ -619,8 +646,10 @@ class Runner:
             # makes re-clustering cheap.
             raise ValueError(
                 "run_incremental does not support clustering_mode="
-                f"{self.cfg.clustering_mode!r}: the greedy center set is "
-                "not monotone under new edges. Re-run the batch pipeline."
+                f"{self.cfg.clustering_mode!r}: the partition is not "
+                "monotone under new edges (a new edge can depose a "
+                "pivot/star center, shift degrees, or re-price an "
+                "average-linkage merge). Re-run the batch pipeline."
             )
         if self.cfg.drop_contained:
             # a new batch can CONTAIN an old conversation (the old one is

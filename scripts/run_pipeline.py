@@ -100,7 +100,7 @@ def main() -> None:
              "the evicted_nodes review-queue stage table (batch mode only)",
     )
     ap.add_argument(
-        "--clustering-mode", choices=["cc", "pivot", "star"], default="cc",
+        "--clustering-mode", choices=["cc", "pivot", "star", "hac"], default="cc",
         help="clusters stage algorithm: 'cc' = transitive closure (max "
              "recall), 'pivot' = parallel KwikCluster correlation "
              "clustering — clusters bounded by one pivot's direct match-"
@@ -108,7 +108,14 @@ def main() -> None:
              "entities (batch mode only), 'star' = star clustering — same "
              "neighborhood bound but centers picked by descending degree, "
              "so cluster ids land on the best-connected records (batch "
-             "mode only)",
+             "mode only), 'hac' = component-local exact average-linkage "
+             "clustering cut at --hac-threshold — refuses chained merges "
+             "whose mean cross distance fails the cut (batch mode only)",
+    )
+    ap.add_argument(
+        "--hac-threshold", type=float, default=None,
+        help="hac mode only: average-linkage distance cut "
+             "(default: --max-dist)",
     )
     ap.add_argument(
         "--pivot-salt", default="",
@@ -187,6 +194,7 @@ def main() -> None:
         repair_min_avg=args.repair_min_avg,
         clustering_mode=args.clustering_mode,
         pivot_salt=args.pivot_salt,
+        hac_threshold=args.hac_threshold,
         drop_contained=args.drop_contained,
         containment_depth_cap=args.containment_depth_cap,
         stability_samples=args.stability_samples,
