@@ -598,16 +598,26 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "n_shared", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram character Jaccard for adjacent-id doc pairs."""
-    from hexspark.ops.dedup import ngram_jaccard
+def q_suffix_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix blocking (pipeline/blocking.suffix_pairs — the Aizawa-Oyama
+    suffix-array pass): every doc pair sharing a >= 6-char suffix of the
+    canonical 12-char key whose suffix block is within the 50-row cap,
+    with the longest shared suffix and the nested-suffix count. Replaced
+    the round-3 `ngram_jaccard` slot (redundant with the lossless
+    `prefix_jaccard` set-similarity join) so the fifth blocking family is
+    hash-gated like the others; all output columns integer/string-exact."""
+    from hexspark.pipeline.blocking import suffix_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    a, b = docs.alias("a"), docs.alias("b")
-    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
-        F.col("a.doc_id").alias("doc_id_a"),
-        F.col("b.doc_id").alias("doc_id_b"),
-        F.round(ngram_jaccard(F.col("a.text"), F.col("b.text")), 6).alias("jaccard"),
+    return suffix_pairs(
+        docs,
+        "doc_id",
+        "text",
+        min_suffix_len=6,
+        max_key_len=12,
+        max_block_size=50,
+        out_a="doc_id_a",
+        out_b="doc_id_b",
     )
 
 
@@ -1114,10 +1124,18 @@ def q_partition_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipeline/evaluate.adjusted_rand_index_df) accumulates only integers
     (Σ C(x,2) as x*(x-1) div 2); the marginal product is promoted to
     double BEFORE multiplying (longs wrap past ~1e8 records), and only
-    the final one-row expression divides doubles. The oracle recomputes
-    the clustering with the recursive min-label CTE and both metric
+    the final one-row expression divides doubles. Round-4 late addition:
+    MUC (pipeline/evaluate.muc_df — the link-based coreference score)
+    joins the same row from the SAME clusters/truth; its four
+    numerators/denominators are exact longs and each score one IEEE
+    division, so it hash-gates like ARI. The oracle recomputes the
+    clustering with the recursive min-label CTE and all three metric
     families from the same cells CTE."""
-    from hexspark.pipeline.evaluate import adjusted_rand_index_df, bcubed_df
+    from hexspark.pipeline.evaluate import (
+        adjusted_rand_index_df,
+        bcubed_df,
+        muc_df,
+    )
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
     truth = docs.select(
@@ -1126,12 +1144,28 @@ def q_partition_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = _demo_clusters(spark, sf_dir)
     b = bcubed_df(clusters, truth, id_col="conv_id")
     a = adjusted_rand_index_df(clusters, truth).select("ari")
-    return b.crossJoin(a).select(
+    m = muc_df(clusters, truth).select(
+        "muc_recall_num",
+        "muc_recall_den",
+        "muc_precision_num",
+        "muc_precision_den",
+        F.round("muc_precision", 6).alias("muc_precision"),
+        F.round("muc_recall", 6).alias("muc_recall"),
+        F.round("muc_f1", 6).alias("muc_f1"),
+    )
+    return b.crossJoin(a).crossJoin(m).select(
         "n_records",
         F.round("bcubed_precision", 6).alias("bcubed_precision"),
         F.round("bcubed_recall", 6).alias("bcubed_recall"),
         F.round("bcubed_f1", 6).alias("bcubed_f1"),
         "ari",
+        "muc_recall_num",
+        "muc_recall_den",
+        "muc_precision_num",
+        "muc_precision_den",
+        "muc_precision",
+        "muc_recall",
+        "muc_f1",
     )
 
 
@@ -1918,7 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_block_scores": q_wide_block_scores,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
+        "suffix_block_pairs": q_suffix_block_pairs,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "dedup_removed_docs": q_dedup_removed_docs,
@@ -2146,18 +2180,24 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
-        "ngram_jaccard": """
-            WITH g AS (
+        "suffix_block_pairs": """
+            WITH k AS (
               SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(text)-1),
-                                   i -> substr(text, i::INT, 3))) AS ng
-              FROM documents)
+                     substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                            1, 12) AS key
+              FROM documents),
+            s AS (
+              SELECT doc_id, substr(key, i::INT, 12) AS suffix_key
+              FROM k, (SELECT unnest(range(1, 8)) AS i) r
+              WHERE len(key) >= 6 AND i <= len(key) - 5),
+            ok AS (SELECT suffix_key FROM s GROUP BY 1 HAVING count(*) <= 50),
+            sk AS (SELECT s.* FROM s JOIN ok USING (suffix_key))
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   round(len(list_filter(a.ng, x -> list_contains(b.ng, x)))::DOUBLE
-                         / (len(a.ng) + len(b.ng)
-                            - len(list_filter(a.ng, x -> list_contains(b.ng, x)))),
-                         6) AS jaccard
-            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+                   arg_max(suffix_key, len(suffix_key)) AS suffix_key,
+                   count(*)::BIGINT AS n_shared_suffixes
+            FROM sk a JOIN sk b USING (suffix_key)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "embedding_neardup": """
             WITH planes AS (
@@ -2538,7 +2578,24 @@ def oracle_sql() -> dict[str, str]:
                          (sum_a::DOUBLE * sum_b) / (n_records::DOUBLE * (n_records - 1) / 2)
                            AS expv,
                          (sum_a + sum_b) / 2.0 AS maxv
-                  FROM agg, core, ma, mb)
+                  FROM agg, core, ma, mb),
+            -- MUC from the SAME cells: per-entity / per-cluster (size,
+            -- cell count), integer link numerators/denominators, one IEEE
+            -- division per score — mirroring evaluate.muc_df
+            be AS (SELECT entity_id, sum(o)::BIGINT AS sz, count(*)::BIGINT AS m
+                   FROM cells GROUP BY 1),
+            bc2 AS (SELECT cluster_id, sum(o)::BIGINT AS sz, count(*)::BIGINT AS m
+                    FROM cells GROUP BY 1),
+            mucr AS (SELECT sum(sz - m)::BIGINT AS mr_num,
+                            sum(sz - 1)::BIGINT AS mr_den FROM be),
+            mucp AS (SELECT sum(sz - m)::BIGINT AS mp_num,
+                            sum(sz - 1)::BIGINT AS mp_den FROM bc2),
+            mx AS (SELECT mr_num, mr_den, mp_num, mp_den,
+                          CASE WHEN mp_den > 0 THEN mp_num::DOUBLE / mp_den
+                               ELSE 1.0 END AS mp,
+                          CASE WHEN mr_den > 0 THEN mr_num::DOUBLE / mr_den
+                               ELSE 1.0 END AS mr
+                   FROM mucr, mucp)
             SELECT agg.n_records,
                    round(p_::DOUBLE / agg.n_records, 6) AS bcubed_precision,
                    round(r_::DOUBLE / agg.n_records, 6) AS bcubed_recall,
@@ -2547,8 +2604,16 @@ def oracle_sql() -> dict[str, str]:
                          6) AS bcubed_f1,
                    round(CASE WHEN maxv - expv = 0 THEN 1.0
                               ELSE (sum_cells - expv) / (maxv - expv) END,
-                         6)::DOUBLE AS ari
-            FROM agg, x
+                         6)::DOUBLE AS ari,
+                   mr_num AS muc_recall_num,
+                   mr_den AS muc_recall_den,
+                   mp_num AS muc_precision_num,
+                   mp_den AS muc_precision_den,
+                   round(mp, 6) AS muc_precision,
+                   round(mr, 6) AS muc_recall,
+                   round(CASE WHEN mp + mr > 0 THEN 2 * mp * mr / (mp + mr)
+                              ELSE 0.0 END, 6) AS muc_f1
+            FROM agg, x, mx
         """,
         "blocking_quality": f"""
             WITH
