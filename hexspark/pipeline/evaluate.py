@@ -17,20 +17,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pairwise_f1_df(
+def _pair_outcomes(
     labeled_pairs: DataFrame,
     clusters: DataFrame,
     candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """In-plan variant of :func:`pairwise_f1`: same joins, no collect —
-    returns a ONE-ROW DataFrame (tp, fp, fn, precision, recall, f1) so the
-    evaluation can be a stage inside a larger plan, a driver-oracled query,
-    or a sink in its own right. ``pairwise_f1`` delegates here, so the two
-    surfaces cannot diverge.
-
-    Zero-denominator conventions match the dict variant: precision/recall
-    default to 1.0 when their denominator is 0, f1 to 0.0 when p+r = 0.
-    """
+    """Shared pair-classification core of pairwise_f1_df and
+    f1_subsample_ci: one row per pair in the predicted-or-labeled-positive
+    universe, columns (conv_id_a, conv_id_b, _pred, _pos) with 1/NULL
+    markers. Full-outer join of predicted-same-cluster pairs against
+    labeled-positive pairs, so the join pipeline runs once per consumer."""
     labels = labeled_pairs.select("conv_id_a", "conv_id_b", "is_match")
     if candidate_pairs is not None:
         labels = labels.join(candidate_pairs, ["conv_id_a", "conv_id_b"], "inner")
@@ -54,15 +50,28 @@ def pairwise_f1_df(
     )
 
     pos = labels.where(F.col("is_match")).select("conv_id_a", "conv_id_b")
-
-    # single action: full-outer join the predicted and labeled pair sets on
-    # the pair key, then one conditional-count aggregate — the join pipeline
-    # above is computed once instead of three times.
-    merged = pred.withColumn("_pred", F.lit(1)).join(
+    return pred.withColumn("_pred", F.lit(1)).join(
         pos.withColumn("_pos", F.lit(1)),
         ["conv_id_a", "conv_id_b"],
         "full_outer",
     )
+
+
+def pairwise_f1_df(
+    labeled_pairs: DataFrame,
+    clusters: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """In-plan variant of :func:`pairwise_f1`: same joins, no collect —
+    returns a ONE-ROW DataFrame (tp, fp, fn, precision, recall, f1) so the
+    evaluation can be a stage inside a larger plan, a driver-oracled query,
+    or a sink in its own right. ``pairwise_f1`` delegates here, so the two
+    surfaces cannot diverge.
+
+    Zero-denominator conventions match the dict variant: precision/recall
+    default to 1.0 when their denominator is 0, f1 to 0.0 when p+r = 0.
+    """
+    merged = _pair_outcomes(labeled_pairs, clusters, candidate_pairs)
     counts = merged.agg(
         F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNotNull(), 1)).alias("tp"),
         F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNull(), 1)).alias("fp"),
@@ -788,4 +797,105 @@ def mutual_info_df(
         F.round("h_true", 9).alias("h_true"),
         F.round(nmi, 9).alias("nmi"),
         F.round(vi, 9).alias("vi"),
+    )
+
+
+def f1_subsample_ci(
+    labeled_pairs: DataFrame,
+    clusters: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+    n_samples: int = 20,
+    keep_frac: float = 0.8,
+    seed: int = 7,
+    ci: float = 0.95,
+) -> DataFrame:
+    """Subsampling confidence interval for pairwise precision/recall/F1
+    (the Politis-Romano m-out-of-n resampling family, with DETERMINISTIC
+    content-hash replicates — same device as stability.replicate_kept, so
+    every replicate's pair set is independently reconstructable): a point
+    F1 alone cannot say whether mode A beats mode B or the gap is label
+    noise; non-overlapping intervals can.
+
+    Each of ``n_samples`` replicates keeps a pair iff
+    pmod(xxhash64(pair, rep, seed), 1000) < keep_frac*1000, computes
+    P/R/F1 over the kept pairs, and the interval is the empirical
+    [(1-ci)/2, 1-(1-ci)/2] percentile band over replicates.
+
+    ONE extra exchange over the point metric: the classified pair
+    universe (one row per pair, built once by the shared _pair_outcomes
+    core) explodes by replicate AFTER classification, the per-replicate
+    conditional counts are map-side combinable, and the percentile
+    aggregate runs over n_samples rows. Returns ONE row: (n_samples,
+    keep_frac, f1, precision, recall, f1_mean, f1_lo, f1_hi,
+    precision_lo, precision_hi, recall_lo, recall_hi) where the unbanded
+    columns are the full-data point estimates."""
+    if n_samples < 2:
+        raise ValueError(f"n_samples must be >= 2, got {n_samples}")
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if not 0.0 < ci < 1.0:
+        raise ValueError(f"ci must be in (0, 1), got {ci}")
+    merged = _pair_outcomes(labeled_pairs, clusters, candidate_pairs)
+    reps = merged.select(
+        "conv_id_a", "conv_id_b", "_pred", "_pos",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_samples) - 1))).alias("_rep"),
+    ).where(
+        F.pmod(
+            F.xxhash64(
+                F.least("conv_id_a", "conv_id_b"),
+                F.greatest("conv_id_a", "conv_id_b"),
+                F.col("_rep"),
+                F.lit(int(seed)),
+            ),
+            F.lit(1000),
+        )
+        < F.lit(int(round(keep_frac * 1000)))
+    )
+    per = reps.groupBy("_rep").agg(
+        F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("_pred").isNotNull() & F.col("_pos").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("_pred").isNull() & F.col("_pos").isNotNull(), 1)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(1.0))
+    scored = per.withColumn("p", prec).withColumn("r", rec).withColumn(
+        "f",
+        F.when(
+            F.col("p") + F.col("r") > 0,
+            2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")),
+        ).otherwise(F.lit(0.0)),
+    )
+    lo, hi = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+
+    def band(col: str, name: str):
+        return [
+            F.expr(f"percentile({col}, {lo})").alias(f"{name}_lo"),
+            F.expr(f"percentile({col}, {hi})").alias(f"{name}_hi"),
+        ]
+
+    bands = scored.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.avg("f").alias("f1_mean"),
+        *band("f", "f1"),
+        *band("p", "precision"),
+        *band("r", "recall"),
+    )
+    point = pairwise_f1_df(labeled_pairs, clusters, candidate_pairs).select(
+        "precision", "recall", "f1"
+    )
+    return point.crossJoin(bands).select(
+        F.lit(int(n_samples)).alias("n_samples"),
+        "n_reps",
+        F.lit(float(keep_frac)).alias("keep_frac"),
+        "precision",
+        "recall",
+        "f1",
+        "f1_mean",
+        "f1_lo",
+        "f1_hi",
+        "precision_lo",
+        "precision_hi",
+        "recall_lo",
+        "recall_hi",
     )
