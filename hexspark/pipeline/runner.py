@@ -132,6 +132,19 @@ class PipelineConfig:
     # component bound forwarded to hac.hac_components
     hac_threshold: float | None = None
     hac_max_component: int = 500
+    # multi-pass blocking as a production mode: extra candidate passes
+    # derived from the signatures' canon key, unioned with the LSH bands
+    # (exactly once per unordered pair, provenance kept in the stage
+    # table) before scoring — pure RECALL levers, the scoring gate still
+    # decides every pair. Allowed names: "suffix" (suffix-array keys,
+    # prefix-corruption-robust), "phonetic" (Soundex), "snm" (fixed
+    # window extra_snm_window over the global rank), "adaptive_snm"
+    # (boundary-segmented windows). Thin-pairs only — the extra passes
+    # carry no signature chunks, so wide_pairs/fs/meta_prune (which
+    # need them) are mutually exclusive; batch-only (the incremental
+    # path implements banded blocking only).
+    extra_passes: tuple = ()
+    extra_snm_window: int = 10
     # exact containment pre-dedup (pipeline/align.py): before assembly,
     # drop conversations that are strict turn-level prefixes of another
     # conversation (resumed sessions) or exact duplicates (min-id copy
@@ -226,6 +239,18 @@ class Runner:
                 "precision mode and does not compose with robust or "
                 "repair_min_avg — pick one precision lever per run"
             )
+        allowed_passes = ("suffix", "phonetic", "snm", "adaptive_snm")
+        unknown = [p for p in self.cfg.extra_passes if p not in allowed_passes]
+        if unknown:
+            raise ValueError(
+                f"unknown extra_passes {unknown!r}; allowed: {allowed_passes}"
+            )
+        if self.cfg.extra_passes and self.cfg.wide_pairs:
+            raise ValueError(
+                "extra_passes requires wide_pairs=False: the extra passes "
+                "carry no signature chunks, so the wide scoring path (and "
+                "fs/meta_prune modes built on it) cannot consume the union"
+            )
         if self.cfg.drop_contained and self.cfg.containment_depth_cap < 1:
             raise ValueError(
                 "containment_depth_cap must be >= 1 "
@@ -238,7 +263,12 @@ class Runner:
     def _cfg_dict(self) -> dict:
         from dataclasses import asdict
 
-        return asdict(self.cfg)
+        # JSON round-trips tuples as lists; normalize so the drift guard
+        # compares values, not container types (extra_passes is a tuple)
+        return {
+            k: list(v) if isinstance(v, tuple) else v
+            for k, v in asdict(self.cfg).items()
+        }
 
     def _manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
@@ -363,7 +393,34 @@ class Runner:
             )
             pairs, stats = maker(sigs, n_bands=cfg.n_bands, max_block=cfg.max_block)
             self.io.write(stats.where(F.col("skipped")), "skipped_blocks")
-            return pairs
+            if not cfg.extra_passes:
+                return pairs
+            from . import snm as snm_mod
+
+            canon_df = sigs.select("conv_id", "canon")
+            passes = {"lsh": pairs.select("conv_id_a", "conv_id_b")}
+            for name in cfg.extra_passes:
+                if name == "suffix":
+                    p = blocking.suffix_pairs(canon_df, "conv_id", "canon")
+                elif name == "phonetic":
+                    p = blocking.phonetic_pairs(canon_df, "conv_id", "canon")
+                elif name == "snm":
+                    p = snm_mod.sorted_neighborhood_pairs(
+                        canon_df, "conv_id", F.col("canon"),
+                        window=cfg.extra_snm_window,
+                    )
+                else:  # adaptive_snm
+                    p = snm_mod.adaptive_snm_pairs(
+                        canon_df, "conv_id", F.col("canon")
+                    )
+                # canonicalize to id order: SNM's a-side is the lower RANK
+                # (key order), so without this a pair could enter the
+                # union both ways and be scored twice
+                passes[name] = p.select(
+                    F.least("conv_id_a", "conv_id_b").alias("conv_id_a"),
+                    F.greatest("conv_id_a", "conv_id_b").alias("conv_id_b"),
+                )
+            return blocking.union_candidates(passes)
 
         pairs = self._run_stage(manifest, result, "candidate_pairs", build_pairs)
 
@@ -394,6 +451,10 @@ class Runner:
 
         def build_edges() -> DataFrame:
             p = pairs
+            if cfg.extra_passes:
+                # provenance (passes, n_passes) stays in the stage table
+                # for lineage; scoring sees only the pair keys
+                p = p.select("conv_id_a", "conv_id_b")
             if cfg.pair_partitions:
                 p = p.repartition(cfg.pair_partitions)
             if cfg.scoring_mode == "fs_levels":
@@ -621,6 +682,16 @@ class Runner:
         to the edges table, and the manifest row counts are refreshed."""
         from . import incremental
 
+        if self.cfg.extra_passes:
+            # incremental blocking implements the banded new-vs-all join
+            # only; folding a batch through fewer passes than the prior
+            # run would silently lose the extra passes' recall on
+            # new-old pairs
+            raise ValueError(
+                "run_incremental does not support extra_passes: the "
+                "incremental path implements banded blocking only. "
+                "Re-run the batch pipeline."
+            )
         if self.cfg.repair_min_avg is not None:
             # eviction is NOT monotone under edge appends: a new batch edge
             # can raise an evicted node's within-cluster average back over

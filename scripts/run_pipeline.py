@@ -118,6 +118,13 @@ def main() -> None:
              "(default: --max-dist)",
     )
     ap.add_argument(
+        "--extra-passes", default="",
+        help="comma-separated extra blocking passes unioned with the LSH "
+             "bands (suffix, phonetic, snm, adaptive_snm) — recall "
+             "levers; switches scoring to the thin-pairs path "
+             "(batch mode only)",
+    )
+    ap.add_argument(
         "--pivot-salt", default="",
         help="pivot mode only: salt of the md5 priority permutation "
              "(a different salt is a fresh random visiting order)",
@@ -199,6 +206,10 @@ def main() -> None:
         containment_depth_cap=args.containment_depth_cap,
         stability_samples=args.stability_samples,
         stability_keep_frac=args.stability_keep_frac,
+        wide_pairs=not args.extra_passes,
+        extra_passes=tuple(
+            p for p in (args.extra_passes or "").split(",") if p
+        ),
     )
     runner = Runner(spark, args.workdir, cfg)
     result = (
