@@ -1,0 +1,71 @@
+"""PII scrub: span detection counts, Luhn/octet validation, typed
+redaction, clean-text identity, and the no-Python no-shuffle plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hexspark.ops.pii import pii_counts, redact_pii, scrub_documents
+
+# 4242424242424242 and 4111 1111 1111 1111 are Luhn-valid test numbers;
+# 1234567890123456 is not. 999.10.0.1 has a valid shape, 300.1.2.3 fails
+# the octet check.
+_DOCS = [
+    (1, "contact bob.smith+x@example.co.uk or (555) 123-4567 today"),
+    (2, "ssn 123-45-6789 card 4242424242424242 bad card 1234567890123456"),
+    (3, "host 10.0.0.1 and bogus 300.1.2.3; card 4111 1111 1111 1111"),
+    (4, "a perfectly clean document with numbers 1234 and words"),
+    (5, "call +1 555-123-4567 or 555.123.4567; ip 255.255.255.255"),
+]
+_DDL = "doc_id int, text string"
+
+
+def _luhn_py(s: str) -> bool:
+    ds = [int(c) for c in s[::-1]]
+    return sum(d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2) for i, d in enumerate(ds)) % 10 == 0
+
+
+def test_counts_match_hand_oracle(spark):
+    df = spark.createDataFrame(_DOCS, _DDL)
+    got = {
+        r["doc_id"]: (r["p"]["n_emails"], r["p"]["n_phones"], r["p"]["n_ips"], r["p"]["n_ssns"], r["p"]["n_cards"])
+        for r in df.select("doc_id", pii_counts(F.col("text")).alias("p")).collect()
+    }
+    assert _luhn_py("4242424242424242") and not _luhn_py("1234567890123456")
+    assert got[1] == (1, 1, 0, 0, 0)
+    assert got[2] == (0, 0, 0, 1, 1)  # bad card rejected by Luhn
+    assert got[3] == (0, 0, 1, 0, 1)  # 300.1.2.3 rejected by octet check
+    assert got[4] == (0, 0, 0, 0, 0)
+    assert got[5] == (0, 2, 1, 0, 0)
+
+
+def test_redaction_replaces_with_typed_tokens(spark):
+    df = spark.createDataFrame(_DOCS, _DDL)
+    red = {r["doc_id"]: r["t"] for r in df.select("doc_id", redact_pii(F.col("text")).alias("t")).collect()}
+    assert red[1] == "contact [EMAIL] or [PHONE] today"
+    assert red[2] == "ssn [SSN] card [CARD] bad card 1234567890123456"
+    assert red[3] == "host [IP] and bogus 300.1.2.3; card [CARD]"
+    assert red[5] == "call [PHONE] or [PHONE]; ip [IP]"
+
+
+def test_clean_text_is_identity(spark):
+    df = spark.createDataFrame(_DOCS, _DDL)
+    row = df.where("doc_id = 4").select(redact_pii(F.col("text")).alias("t")).first()
+    assert row["t"] == _DOCS[3][1]
+
+
+def test_scrub_documents_totals_and_schema(spark):
+    out = scrub_documents(spark.createDataFrame(_DOCS, _DDL))
+    assert out.columns == [
+        "doc_id", "n_emails", "n_phones", "n_ips", "n_ssns", "n_cards",
+        "n_pii_total", "redacted_text",
+    ]
+    got = {r["doc_id"]: r["n_pii_total"] for r in out.collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 0, 5: 3}
+
+
+def test_scrub_plan_no_python_no_shuffle(spark):
+    out = scrub_documents(spark.createDataFrame(_DOCS, _DDL))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Exchange" not in plan
