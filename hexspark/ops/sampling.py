@@ -124,3 +124,62 @@ def stratified_sample_n(
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain: str,
+    key: str,
+    target_weights: dict[str, float],
+    scale: float = 1.0,
+    salt: str = "s0",
+) -> tuple[DataFrame, dict[str, dict]]:
+    """Deterministic data-mixing sampler: downsample each ``domain`` so the
+    OUTPUT corpus hits ``target_weights`` proportions (the mixture step a
+    training pipeline runs last — e.g. 60% web, 30% code, 10% dialogue —
+    Gopher/Llama-style source re-weighting, without RNG).
+
+    Rates are the exact water-line solution with downsampling only (no row
+    is ever duplicated): the largest output size with exact proportions is
+    N_out = min_d(count_d / w_d), so rate_d = w_d * N_out * scale /
+    count_d — the binding (scarcest-relative-to-target) domain keeps 100%
+    at scale=1 and every other domain is thinned to match. Domains absent
+    from ``target_weights`` are dropped (weight 0 — the filter is part of
+    the mixing contract); target domains missing from the corpus fail
+    loud rather than silently skewing the mixture.
+
+    The keep decision is the same content-stable 48-bit md5 rule as
+    :func:`sample_fraction` (per-domain thresholds in ONE codegen CASE
+    filter), so the cut is reproducible across runs, partitionings, and
+    engines; the only pre-pass is one map-side-combinable domain count.
+
+    Returns (sampled_df, plan) where plan[d] = {"count": corpus count,
+    "rate": keep rate, "expected": rate * count} — the audit table.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if any(w <= 0 for w in target_weights.values()):
+        raise ValueError("target weights must be positive (omit a domain to drop it)")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"scale must be in (0, 1], got {scale}")
+    total_w = float(sum(target_weights.values()))
+    weights = {d: w / total_w for d, w in target_weights.items()}
+    counts = {
+        r["d"]: r["c"]
+        for r in df.groupBy(F.col(domain).alias("d")).agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["d"] in weights
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"target domains missing from the corpus: {missing}")
+    n_out = min(counts[d] / w for d, w in weights.items()) * scale
+    plan: dict[str, dict] = {}
+    cond = None
+    h = _key_hash(F.col(key), salt)
+    for d in sorted(weights):
+        rate = min(1.0, weights[d] * n_out / counts[d])
+        thresh = int(rate * _HASH_MAX)
+        plan[d] = {"count": counts[d], "rate": rate, "expected": rate * counts[d]}
+        this = (F.col(domain) == F.lit(d)) & (h < F.lit(thresh))
+        cond = this if cond is None else cond | this
+    return df.where(cond), plan
