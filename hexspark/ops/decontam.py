@@ -48,10 +48,13 @@ def eval_ngram_set(
     """
     if n < 2:
         raise ValueError(f"n must be >= 2 for contamination checks (got {n})")
+    # materialize the word array BEFORE the n-gram HOF: word_ngrams reads
+    # its input once per F.get, so an inlined words_array expression would
+    # re-run the tokenizer regex n times per gram (measured 60x slowdown
+    # at n=8) — project first, then gram over the materialized column
     return (
-        eval_docs.select(
-            F.explode(word_ngrams(words_array(F.col(text_col)), n)).alias("gram")
-        )
+        eval_docs.select(words_array(F.col(text_col)).alias("_ws"))
+        .select(F.explode(word_ngrams(F.col("_ws"), n)).alias("gram"))
         .distinct()
     )
 
@@ -76,8 +79,11 @@ def ngram_contamination(
     banned = F.broadcast(eval_ngram_set(eval_docs, n, text_col))
     grams = train_docs.select(
         F.col(id_col).alias("_id"),
+        words_array(F.col(text_col)).alias("_ws"),  # materialize (see above)
+    ).select(
+        "_id",
         F.explode_outer(
-            F.array_distinct(word_ngrams(words_array(F.col(text_col)), n))
+            F.array_distinct(word_ngrams(F.col("_ws"), n))
         ).alias("gram"),
     )
     hit = grams.join(banned.withColumn("_hit", F.lit(1)), "gram", "left")

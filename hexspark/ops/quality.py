@@ -52,7 +52,15 @@ def words_array(text_col):
 
 def word_ngrams(words_col, n: int):
     """In-row word n-grams as space-joined strings (empty array if the
-    document has fewer than n words)."""
+    document has fewer than n words).
+
+    PERFORMANCE CONTRACT: pass a MATERIALIZED column reference (project
+    words_array(...) to a named column first), never the words_array
+    expression inline — the gram builder reads its input once per F.get,
+    so an inlined tokenizer would re-run the regex n times per gram
+    (measured 15x wall-clock on the decontam path at n=8). A projection
+    boundary is enough: CollapseProject declines to inline expensive
+    multiply-referenced expressions."""
     size = F.size(words_col)
     idx = F.sequence(F.lit(0), size - n)
     grams = F.transform(
