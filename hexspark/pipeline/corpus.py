@@ -56,6 +56,7 @@ from hexspark.ops.quality import repetition_filter
 from hexspark.ops.sampling import mixture_sample
 from hexspark.pipeline.clustering import connected_components
 from hexspark.pipeline.io import TableIO
+from hexspark.pipeline.metrics import partition_metrics
 
 _STAGES = ("scrubbed", "quality", "deduped", "corpus")
 
@@ -129,8 +130,15 @@ class CorpusRunner:
         self.io.write(out, stage)
         out = self.io.read(stage)
         rows = out.count()
+        wall_ms = int((time.time() - t0) * 1000)
+        # per-partition lineage, same table contract as the ER Runner —
+        # one append per completed stage, keyed by run_id + stage
+        self.io.append(
+            partition_metrics(out, stage, manifest["run_id"], wall_ms),
+            "stage_metrics",
+        )
         self._mark(
-            manifest, stage, rows, int((time.time() - t0) * 1000),
+            manifest, stage, rows, wall_ms,
             extra() if callable(extra) else extra,
         )
         result.tables[stage] = out

@@ -116,3 +116,16 @@ def test_mixture_stage_and_plan_in_manifest(spark, runner, tmp_path):
     m = json.load(open(os.path.join(str(tmp_path / "wd_mix"), "corpus_manifest.json")))
     plan = m["completed"]["corpus"]["mixture_plan"]
     assert set(plan) == {"en", "de"} and all("rate" in p for p in plan.values())
+
+def test_stage_metrics_lineage(spark, runner, tmp_path):
+    docs = spark.createDataFrame(_docs(), _DDL)
+    r = runner(sub="wd_metrics").run(docs)
+    m = CorpusRunner(spark, str(tmp_path / "wd_metrics"), CorpusConfig()).io.read("stage_metrics")
+    rows = m.collect()
+    assert {row["stage"] for row in rows} == {"scrubbed", "quality", "deduped", "corpus"}
+    assert all(row["run_id"] == r.run_id for row in rows)
+    # per-partition rows sum to the stage row counts
+    per_stage = {}
+    for row in rows:
+        per_stage[row["stage"]] = per_stage.get(row["stage"], 0) + row["rows_out"]
+    assert per_stage == r.stage_rows
