@@ -212,6 +212,39 @@ def main() -> None:
     for name in ("hamming_pairs", "match_edges", "minhash_pairs", "ann_topk", "exact_dedup"):
         timings[name] = best_of(lambda n=name: qs[n](spark, sf_dir).count())
 
+    # --- corpus hygiene ops over the documents table (extras-only: the
+    # headline total stays comparable round-over-round) --------------------
+    try:
+        from hexspark.ops.lm import lm_score, train_bigram_lm
+        from hexspark.ops.pii import scrub_documents
+        from hexspark.ops.quality import repetition_filter
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).persist()
+        n_docs = docs.count()
+        hyg = {
+            "pii_scrub": best_of(
+                lambda: scrub_documents(docs).agg(F.sum("n_pii_total")).collect()
+            ),
+            "repetition_filter": best_of(
+                lambda: repetition_filter(docs)
+                .agg(F.sum(F.col("keep").cast("long")))
+                .collect()
+            ),
+        }
+        lm = train_bigram_lm(docs)
+        lm.unigrams.persist().count()
+        lm.bigrams.persist().count()
+        hyg["lm_score"] = best_of(
+            lambda: lm_score(docs, lm).agg(F.avg("perplexity")).collect()
+        )
+        docs.unpersist()
+        extras["hygiene_sec"] = {k: round(v, 3) for k, v in hyg.items()}
+        extras["hygiene_docs_per_sec"] = {
+            k: round(n_docs / v, 1) for k, v in hyg.items() if v > 0
+        }
+    except Exception as exc:  # the ER headline must survive a hygiene break
+        extras["hygiene_error"] = repr(exc)[:200]
+
     total = round(sum(timings.values()), 3)
 
     # Full driver-contract sweep (NOT in the headline total, which keeps the
@@ -269,6 +302,7 @@ def main() -> None:
         "pairs_scored_per_sec": extras.get("pairs_scored_per_sec"),
         "fs_pairs_scored_per_sec": extras.get("fs_pairs_scored_per_sec"),
         "hamming_pairs_per_sec": extras.get("hamming_pairs_per_sec"),
+        "hygiene_docs_per_sec": extras.get("hygiene_docs_per_sec"),
         "driver_queries_total_sec": extras.get("driver_queries_total_sec"),
         "n_driver_queries": len(extras.get("driver_queries_sec", {})),
         "detail": "build/bench_detail.json",
