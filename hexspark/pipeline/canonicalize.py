@@ -253,3 +253,48 @@ def cluster_medoids(
     return out.join(sizes, "cluster_id").select(
         "cluster_id", "medoid_id", "medoid_text", "total_dist", "n_members", "exact"
     )
+
+
+def authority_canonicals(
+    clusters: DataFrame,
+    edges: DataFrame,
+    id_col: str = "conv_id",
+    edge_a: str = "conv_id_a",
+    edge_b: str = "conv_id_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Authority survivorship — the third record-level strategy: the
+    canonical is the member with the highest PageRank on the match graph
+    (ops/graph.pagerank), i.e. the record the rest of the duplicate
+    evidence points at. Under heavy re-ingestion, near-copies chain off
+    an original; min-id and preference heuristics pick arbitrary chain
+    members, the authority pick is the hub.
+
+    clusters(id_col, cluster_id) × edges → one row per cluster:
+    (cluster_id, canonical_id, rank, n_members). Members without edges
+    (singletons folded in by with_singletons) rank 0; ties (symmetric
+    neighborhoods — common in clean duplicate pairs) break by ascending
+    id, so the result is total-order deterministic. Shape: the PR rounds
+    plus ONE cluster-keyed top-1 window — same envelope as
+    golden_records.
+    """
+    from hexspark.ops.graph import pagerank
+
+    ranks = pagerank(edges, edge_a, edge_b, damping=damping, n_iter=n_iter)
+    members = clusters.join(
+        ranks.select(F.col("node").alias(id_col), "rank"), id_col, "left"
+    ).withColumn("rank", F.coalesce("rank", F.lit(0.0)))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank").desc(), F.col(id_col).asc()
+    )
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id", F.col(id_col).alias("canonical_id"), "rank", "n_members"
+        )
+    )

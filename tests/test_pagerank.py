@@ -86,3 +86,23 @@ def test_guards_and_empty(spark):
     with pytest.raises(ValueError, match="n_iter"):
         _spark_pr(spark, df_edges, n_iter=0)
     assert _spark_pr(spark, [("x", "x")]) == {}  # self-loops dropped → empty
+
+
+def test_authority_canonicals_pick_the_hub(spark):
+    from hexspark.pipeline.canonicalize import authority_canonicals
+
+    # cluster c1: hub h with 4 chained near-copies; cluster c2: symmetric
+    # pair (tie -> min id); cluster c3: singleton (no edges, rank 0)
+    edges = [("h", "d1"), ("h", "d2"), ("h", "d3"), ("d3", "d4"),
+             ("p1", "p2")]
+    clusters = [("h", "c1"), ("d1", "c1"), ("d2", "c1"), ("d3", "c1"),
+                ("d4", "c1"), ("p1", "c2"), ("p2", "c2"), ("s", "c3")]
+    out = authority_canonicals(
+        spark.createDataFrame(clusters, "conv_id string, cluster_id string"),
+        spark.createDataFrame(edges, _DDL),
+    )
+    got = {r["cluster_id"]: (r["canonical_id"], r["n_members"]) for r in out.collect()}
+    assert got["c1"] == ("h", 5)      # authority beats min-id ("d1")
+    assert got["c2"] == ("p1", 2)     # symmetric tie -> ascending id
+    assert got["c3"] == ("s", 1)      # edgeless singleton, rank 0
+    assert {r["cluster_id"]: r["rank"] for r in out.collect()}["c3"] == 0.0
