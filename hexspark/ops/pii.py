@@ -87,7 +87,11 @@ def pii_counts(text_col):
     """Struct column of per-document PII span counts.
 
     Fields: n_emails, n_phones, n_ips (octet-validated), n_ssns, n_cards
-    (Luhn-validated). One codegen projection; no shuffle.
+    (Luhn-validated). One codegen projection; no shuffle. Counts are
+    FIRST-VISIBLE-SPAN counts: chained adjacent PII of different types
+    (see redact_pii's ``passes``) surfaces one span at a time, so the
+    total flags the document even when the per-type split under-counts
+    a glued chain — the right contract for a keep/drop gate.
     """
     n = lambda pat: F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
     return F.struct(
@@ -99,7 +103,7 @@ def pii_counts(text_col):
     )
 
 
-def redact_pii(text_col):
+def redact_pii(text_col, passes: int = 2):
     """Replace every detected span with its typed placeholder token.
 
     Order matters and is fixed: cards first (a card number contains
@@ -108,7 +112,27 @@ def redact_pii(text_col):
     replacing only the exact validated literals — regexp_replace with the
     quoted candidate — via a codegen aggregate over the candidate array,
     so an invalid 16-digit id is left untouched.
+
+    ``passes``: CHAINED adjacent PII of different types (a card number
+    glued to a phone number with no separator) can hide one span behind
+    the other's missing word boundary; redacting the visible span exposes
+    the hidden one. The projection is therefore applied ``passes`` times
+    (default 2 — one exposure layer per extra pass; the adversarial
+    probe in tests/test_pii.py shows 2 reaches the fixpoint on chained
+    fragments, and the property test pins redact(redact(x)) ==
+    redact(x) at the default). Still one codegen projection — the
+    expression tree just composes with itself; replacement tokens contain
+    no digits or @, so passes can only converge, never oscillate.
     """
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1 (got {passes})")
+    out = text_col
+    for _ in range(passes):
+        out = _redact_once(out)
+    return out
+
+
+def _redact_once(text_col):
     # exact-literal replacement for the validated families: fold the
     # candidate array through regexp_replace(\Qcand\E)
     def _replace_each(col, cands, token):
