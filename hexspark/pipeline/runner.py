@@ -119,7 +119,12 @@ class PipelineConfig:
     # average-linkage agglomerative clustering (hac.hac_components) cut at
     # hac_threshold (default max_dist) over the edges' hamming_dist —
     # refuses chained merges whose MEAN cross distance fails the cut,
-    # splitting glued entities by pricing rather than structure.
+    # splitting glued entities by pricing rather than structure. "lpa" =
+    # unseeded synchronous label propagation (ops/graph.lpa_communities)
+    # — density-sensitive: an over-merged component splits along its
+    # sparse cut (majority voting starves the bridge) without needing
+    # triangle support or scores; deterministic via self-vote + min-label
+    # ties, rounds bounded by cc_max_iter.
     # Precision levers next to robust (edge corroboration) and repair
     # (post-hoc eviction); unlike those they emit no review queue —
     # disagreements are priced into the partition. Mutually exclusive
@@ -226,10 +231,10 @@ class Runner:
                 "meta_prune requires wide_pairs=True (the CBS weight is "
                 "computed from the carried signature chunks)"
             )
-        if self.cfg.clustering_mode not in ("cc", "pivot", "star", "hac"):
+        if self.cfg.clustering_mode not in ("cc", "pivot", "star", "hac", "lpa"):
             raise ValueError(
-                "clustering_mode must be 'cc', 'pivot', 'star', or 'hac' "
-                f"(got {self.cfg.clustering_mode!r})"
+                "clustering_mode must be 'cc', 'pivot', 'star', 'hac', or "
+                f"'lpa' (got {self.cfg.clustering_mode!r})"
             )
         if self.cfg.clustering_mode != "cc" and (
             self.cfg.robust or self.cfg.repair_min_avg is not None
@@ -594,6 +599,16 @@ class Runner:
                 elif cfg.clustering_mode == "star":
                     cl, rounds = clustering.star_components(
                         edges, max_iter=cfg.cc_max_iter
+                    )
+                elif cfg.clustering_mode == "lpa":
+                    from hexspark.ops.graph import lpa_communities
+
+                    labels, rounds, _converged = lpa_communities(
+                        edges, max_iter=cfg.cc_max_iter
+                    )
+                    cl = labels.select(
+                        F.col("node").alias("conv_id"),
+                        F.col("label").alias("cluster_id"),
                     )
                 elif cfg.clustering_mode == "hac":
                     from . import hac

@@ -100,7 +100,7 @@ def main() -> None:
              "the evicted_nodes review-queue stage table (batch mode only)",
     )
     ap.add_argument(
-        "--clustering-mode", choices=["cc", "pivot", "star", "hac"], default="cc",
+        "--clustering-mode", choices=["cc", "pivot", "star", "hac", "lpa"], default="cc",
         help="clusters stage algorithm: 'cc' = transitive closure (max "
              "recall), 'pivot' = parallel KwikCluster correlation "
              "clustering — clusters bounded by one pivot's direct match-"
@@ -110,7 +110,10 @@ def main() -> None:
              "so cluster ids land on the best-connected records (batch "
              "mode only), 'hac' = component-local exact average-linkage "
              "clustering cut at --hac-threshold — refuses chained merges "
-             "whose mean cross distance fails the cut (batch mode only)",
+             "whose mean cross distance fails the cut (batch mode only), "
+             "'lpa' = unseeded synchronous label propagation — density-"
+             "sensitive: over-merged components split along their sparse "
+             "cut by majority voting (batch mode only)",
     )
     ap.add_argument(
         "--hac-threshold", type=float, default=None,
