@@ -83,6 +83,22 @@ def main():
     run("mixture_sample", lambda: mixture_sample(
         docs, "lang", "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.25})[0].count())
 
+    from hexspark.ops.spandedup import span_dedup_stats
+
+    run("span_dedup", lambda: span_dedup_stats(docs, min_len=12).agg(
+        F.sum("dup_tokens")).collect())
+    # adversarial envelope: an all-boilerplate corpus where EVERY window is
+    # duplicated in every document — the worst case for the count table
+    # (one Zipf-head key per window position) and the span merge (every
+    # doc collapses to one full-length span)
+    boiler = docs.select("doc_id", F.lit(
+        " ".join(f"tok{i % 37}" for i in range(120))).alias("text"))
+    boiler = boiler.persist()
+    boiler.count()
+    run("span_dedup_boilerplate", lambda: span_dedup_stats(
+        boiler, min_len=12).agg(F.sum("dup_tokens")).collect())
+    boiler.unpersist()
+
     out = {
         "metric": "hygiene_suite_sec",
         "value": round(sum(timings.values()), 3),
