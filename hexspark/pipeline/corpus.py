@@ -21,8 +21,11 @@ last — each stage shrinks the input of the next):
 3. ``deduped``    — exact dedup (md5 groups, keep min-id canonical),
                     then optional SimHash near-dup (ops/dedup banded
                     pairs -> connected components -> keep min-id per
-                    component) — the corpus-wide stages, run on the
-                    smallest possible input.
+                    component), then the optional span-level
+                    exact-substring gate (ops/spandedup: drop documents
+                    that are mostly a passage repeated elsewhere) — the
+                    corpus-wide stages, run on the smallest possible
+                    input.
 4. ``corpus``     — optional mixture_sample to target domain weights
                     (water-line downsampling); otherwise a passthrough
                     rename. This is the shippable table.
@@ -72,6 +75,14 @@ class CorpusConfig:
     near_dup: bool = True
     neardup_bands: int = 16
     neardup_max_dist: int = 40
+    # span-level exact-substring pass (ops/spandedup): after exact +
+    # near-dup, drop documents whose cross-document duplicated-span
+    # fraction exceeds the threshold (None -> skip). Flag-and-drop, not
+    # surgical cutting: the canonical copy of a shared passage survives
+    # in whichever document dedup kept; documents that are MOSTLY a
+    # repeated passage add no new tokens and go.
+    max_span_dup_frac: float | None = None
+    span_min_len: int = 20
     mixture_weights: dict | None = None  # None → skip mixing
     mixture_scale: float = 1.0
 
@@ -194,9 +205,19 @@ class CorpusRunner:
                 .where(F.col(id_c) != F.col("canonical_id"))
                 .select(id_c)
             )
+            def span_gate(df):
+                if cfg.max_span_dup_frac is None:
+                    return df
+                from hexspark.ops.spandedup import span_dedup_stats
+
+                flagged = span_dedup_stats(
+                    df, id_c, txt, min_len=cfg.span_min_len
+                ).where(F.col("dup_frac") > F.lit(float(cfg.max_span_dup_frac)))
+                return df.join(flagged.select(id_c), id_c, "left_anti")
+
             exact = quality.join(dup_losers, id_c, "left_anti")
             if not cfg.near_dup:
-                return exact
+                return span_gate(exact)
             pairs = simhash_neardup_pairs(
                 exact,
                 text_col=txt,
@@ -213,7 +234,7 @@ class CorpusRunner:
             near_losers = cc.where(F.col("conv_id") != F.col("cluster_id")).select(
                 F.col("conv_id").cast(exact.schema[id_c].dataType).alias(id_c)
             )
-            return exact.join(near_losers, id_c, "left_anti")
+            return span_gate(exact.join(near_losers, id_c, "left_anti"))
 
         deduped = self._ensure(manifest, result, "deduped", build_deduped)
 

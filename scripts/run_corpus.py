@@ -59,6 +59,13 @@ def main() -> None:
     ap.add_argument("--neardup-bands", type=int, default=16)
     ap.add_argument("--neardup-max-dist", type=int, default=40)
     ap.add_argument(
+        "--max-span-dup-frac", type=float, default=None,
+        help="enable the span-level exact-substring gate: drop documents "
+             "whose cross-document duplicated-span token fraction exceeds "
+             "this (the ExactSubstr flag-and-drop pass)",
+    )
+    ap.add_argument("--span-min-len", type=int, default=20)
+    ap.add_argument(
         "--mixture", default="",
         help="target output mixture as domain=weight[,domain=weight...]; "
              "water-line downsampling (binding domain keeps 100%%); "
@@ -84,6 +91,8 @@ def main() -> None:
         near_dup=not args.no_near_dup,
         neardup_bands=args.neardup_bands,
         neardup_max_dist=args.neardup_max_dist,
+        max_span_dup_frac=args.max_span_dup_frac,
+        span_min_len=args.span_min_len,
         mixture_weights=_parse_mixture(args.mixture),
         mixture_scale=args.mixture_scale,
     )

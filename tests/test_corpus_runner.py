@@ -129,3 +129,25 @@ def test_stage_metrics_lineage(spark, runner, tmp_path):
     for row in rows:
         per_stage[row["stage"]] = per_stage.get(row["stage"], 0) + row["rows_out"]
     assert per_stage == r.stage_rows
+
+
+def test_span_gate_drops_mostly_repeated_passage_doc(spark, runner):
+    passage = ("the standard disclaimer paragraph that every scraped page "
+               "carries verbatim word for word in full each time it appears "
+               "anywhere on the site at all")
+    docs = _docs() + [
+        # doc 60 carries the passage plus substantial unique prose → kept;
+        # doc 61 is ~all passage with a couple of extra words → dropped
+        (60, passage + " followed by a genuinely original analysis of the "
+             "harbor logistics data covering many fresh observations and "
+             "several novel measurements collected independently", "en"),
+        (61, passage + " plus nothing", "en"),
+    ]
+    df = spark.createDataFrame(docs, _DDL)
+    base = runner(sub="wd_nospan").run(df)
+    kept_base = {r["doc_id"] for r in base.tables["deduped"].collect()}
+    assert {60, 61} <= kept_base  # near-dup doesn't catch it (different sims)
+    cfg = CorpusConfig(max_span_dup_frac=0.6, span_min_len=12)
+    gated = runner(cfg, sub="wd_span").run(df)
+    kept = {r["doc_id"] for r in gated.tables["deduped"].collect()}
+    assert 60 in kept and 61 not in kept
