@@ -112,3 +112,38 @@ def test_refined_search_recovers_exact_ranks(spark, embeddings):
     assert all(ref[(p, 1)] == exa[(p, 1)] for p in range(5))
     hits = sum(1 for key in exa if ref.get(key) == exa[key])
     assert hits >= 12  # >= 80% of the 15 (probe, rank) cells identical
+
+
+def test_ivf_pq_composition(spark, embeddings):
+    from hexspark.ops.ann import brute_force_topk, ivf_pq_topk, pq_topk_refined
+
+    df, _ = embeddings
+    books = pq_fit(df, m=8, k=16, n_iters=3)
+    probes = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    # cell-pruned scan: planted rank-1 neighbor survives (a near-identical
+    # vector shares its probe's nearest cell by construction)
+    out = ivf_pq_topk(
+        df, probes, books, k=3, n_centroids=8, n_probe=2, shortlist=40
+    )
+    by_probe = {}
+    for r in out.collect():
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    exact = {
+        (r["probe_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(df, probes, k=3).collect()
+    }
+    for pid, rows in by_probe.items():
+        assert min(rows, key=lambda r: r["rank"])["vec_id"] == pid + 100
+        assert len(rows) == 3
+    # graceful degradation: probing EVERY cell ≡ the full-corpus
+    # ADC-shortlist + refine path (same candidates, same exact re-rank)
+    full = ivf_pq_topk(
+        df, probes, books, k=3, n_centroids=8, n_probe=8, shortlist=40
+    )
+    codes_df = pq_encode(df, books)
+    ref = pq_topk_refined(codes_df, df, probes, books, k=3, shortlist=40)
+    a = {(r["probe_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    b = {(r["probe_id"], r["rank"]): r["vec_id"] for r in ref.collect()}
+    assert a == b
