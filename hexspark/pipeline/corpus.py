@@ -163,7 +163,14 @@ class CorpusRunner:
         result = CorpusResult(run_id=manifest["run_id"])
         id_c, txt = cfg.id_col, cfg.text_col
 
-        passthrough = [c for c in docs.columns if c not in (id_c, txt)]
+        # exclude any column the scrub stage itself emits, so a table that
+        # ALREADY went through ingest-time hygiene (streaming/corpus.py's
+        # quality_stream) re-enters the batch pipeline without ambiguity —
+        # its stale n_pii_total is superseded by this run's scrub
+        scrub_cols = ("n_pii_total", "n_emails", "n_phones", "n_ips", "n_ssns", "n_cards")
+        passthrough = [
+            c for c in docs.columns if c not in (id_c, txt) and c not in scrub_cols
+        ]
 
         def build_scrubbed():
             scrub = scrub_documents(docs, id_c, txt)
