@@ -330,6 +330,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 0,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style coarse-quantization ANN (the inverted-file counterpart to
     lsh_topk): vectors are assigned to the nearest of ``n_centroids``
@@ -355,12 +356,18 @@ def ivf_topk(
 
     Returns (probe_id, vec_id, sim, rank) with rank 1..k by
     (sim desc, vec_id asc), self-matches excluded.
+
+    ``cents`` optionally injects an already-fitted centroid table
+    (cent_id, cent_vec) — the production pattern: the quantizer is
+    trained once (kmeans_centroids, possibly on a sample) and reused
+    across every search; re-fitting per query would repay the O(iters)
+    training scans on each call. When provided, ``n_iters`` is ignored.
     """
-    if n_iters > 0:
+    if cents is None and n_iters > 0:
         cents = kmeans_centroids(
             embeddings, n_centroids, n_iters, id_col=id_col, vec_col=vec_col
         )
-    else:
+    elif cents is None:
         # the n_centroids SMALLEST ids (not `id < n_centroids`, which
         # silently yields fewer or zero centroids for non-dense /
         # non-zero-based id spaces); tiny by construction, so the

@@ -10,7 +10,8 @@ IEEE division each (the repo-wide exactness discipline):
 
 * ``dup_line_frac`` — duplicated lines / total lines, where a line is
   duplicated if its verbatim text occurs more than once in the document
-  (every occurrence beyond the first counts).
+  (ALL occurrences of a duplicated line count, the Gopher convention —
+  same as ``dup_line_char_frac`` below).
 * ``dup_line_char_frac`` — characters inside lines whose text occurs
   more than once (ALL occurrences count, as in Gopher) / total line
   characters.

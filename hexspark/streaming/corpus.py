@@ -13,12 +13,21 @@ only and immutable. That split is the standard production shape:
 streaming hygiene at the edge, global passes on a schedule.
 
 Exactly-once: the file source tracks consumed files in the stream
-checkpoint; foreachBatch appends are made idempotent with the same
-per-checkpoint epoch record ingest.py uses — a crash-replayed epoch
-whose record says "done" is skipped, so the sink never double-appends.
-(The epoch record is the simple variant: the append is the fold's ONLY
-write, so record-present <=> append-committed is enforced by writing
-the record strictly after the append.)
+checkpoint; each micro-batch is written to its own epoch-keyed
+partition subpath (``quality_stream/epoch=<id>``) with OVERWRITE, so a
+crash-replayed epoch rewrites the same subpath instead of appending a
+second copy — the write itself is idempotent, not merely guarded. The
+per-checkpoint epoch record (same scheme as ingest.py) then only has to
+detect the pathological case: an epoch id that REGRESSES because the
+stream checkpoint was deleted and recreated. A regressed epoch whose
+doc_ids are all already in the sink is a pure redelivery and is skipped;
+one that carries unseen doc_ids would silently drop new data if skipped
+and clobber prior epochs if overwritten, so it raises instead (mirror of
+ingest.py's completion-witness contract check).
+
+Readers of ``quality_stream`` see one extra ``epoch`` int partition
+column from directory discovery; every consumer selects by name, so the
+column rides along harmlessly (and doubles as per-batch lineage).
 
 At 100 TB this is one stateless codegen projection + one doc-keyed
 repetition aggregate per micro-batch — cost proportional to the batch,
@@ -84,16 +93,22 @@ def hygiene_stream_to_parquet(
     workdir: str,
     checkpoint_key: str = "default",
     doc_ddl: str = DOC_DDL,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     thresholds: dict | None = None,
     available_now: bool = True,
 ):
     """readStream(parquet drop-dir) → per-batch hygiene → exactly-once
-    append to <workdir>/quality_stream. Returns the StreamingQuery.
+    epoch-partitioned write under <workdir>/quality_stream. Returns the
+    StreamingQuery. ``doc_ddl``/``id_col``/``text_col`` together describe
+    custom schemas — the id/text names are threaded through to
+    hygiene_batch, so any schema whose ddl names its id and text columns
+    differently works end-to-end.
 
     The accumulated quality_stream table is the input for the periodic
-    batch CorpusRunner run (dedup onward); it is append-only, so that
-    run composes with incremental consumers the same way the ER stage
-    tables do.
+    batch CorpusRunner run (dedup onward); committed epochs are
+    immutable, so that run composes with incremental consumers the same
+    way the ER stage tables do.
     """
     out_dir = os.path.join(workdir, "quality_stream")
 
@@ -101,9 +116,41 @@ def hygiene_stream_to_parquet(
         state = _load_state(workdir)
         rec = state.get(checkpoint_key, {})
         if epoch_id <= rec.get("done_epoch", -1):
-            return  # crash-replayed epoch already appended: skip
-        cleaned = hygiene_batch(batch_df, thresholds=thresholds)
-        cleaned.write.mode("append").parquet(out_dir)
+            # Epoch regression: only possible when the stream checkpoint
+            # was deleted/recreated. Pure redelivery of already-written
+            # docs is safe to skip; redelivery smuggling NEW docs is not
+            # (skipping drops them, overwriting epoch=<id> clobbers a
+            # different committed batch) — fail loud, like ingest.py.
+            # Compare POST-hygiene ids: the sink only holds survivors, so
+            # a replayed batch's scrub/repetition victims are expected to
+            # be absent — hygiene is deterministic, so same batch → same
+            # survivor set, and only genuinely new survivors are "unseen".
+            seen = batch_df.sparkSession.read.parquet(out_dir).select(id_col)
+            survivors = (
+                hygiene_batch(batch_df, id_col, text_col, thresholds)
+                .select(id_col)
+                .distinct()
+            )
+            n_batch = survivors.count()
+            n_known = survivors.join(seen, id_col, "left_semi").count()
+            if n_known != n_batch:
+                raise RuntimeError(
+                    f"stream epoch {epoch_id} regressed below committed "
+                    f"epoch {rec.get('done_epoch')} but carries "
+                    f"{n_batch - n_known} unseen surviving {id_col}s: the "
+                    "checkpoint "
+                    "was recreated after new source files arrived — "
+                    "refusing to silently drop them (restart with a fresh "
+                    "workdir or a new checkpoint_key)"
+                )
+            return  # pure crash/redelivery replay of committed docs: skip
+        cleaned = hygiene_batch(batch_df, id_col, text_col, thresholds)
+        # epoch-keyed overwrite: a replay of THIS epoch (crash between
+        # write and record) rewrites the same subpath — idempotent, never
+        # double-appends, no matter where the crash landed.
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
         state[checkpoint_key] = {"done_epoch": epoch_id}
         _save_state(workdir, state)
 

@@ -84,6 +84,45 @@ def test_crash_replay_epoch_is_skipped(spark, tmp_path):
     assert rec["default"]["done_epoch"] >= 0
 
 
+def test_checkpoint_recreated_with_new_docs_raises(spark, tmp_path):
+    """Epoch regression carrying genuinely NEW surviving docs must fail
+    loud: skipping would silently drop them, overwriting would clobber a
+    different committed epoch."""
+    import shutil
+
+    import pytest
+
+    src, wd = str(tmp_path / "src"), str(tmp_path / "wd")
+    spark.createDataFrame(_BATCH_A, DOC_DDL).coalesce(1).write.mode("append").parquet(src)
+    _drain(spark, src, wd)
+    # recreate the checkpoint AFTER a new source file arrives: the
+    # redelivered epoch 0 now bundles old docs with unseen doc 4
+    shutil.rmtree(f"{wd}/ckpt_default")
+    spark.createDataFrame(_BATCH_B, DOC_DDL).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="unseen surviving"):
+        _drain(spark, src, wd)
+    # and nothing was dropped or clobbered: the sink still holds exactly
+    # the first drain's survivors
+    assert set(_sink(spark, wd)) == {1, 3}
+
+
+def test_custom_id_text_columns(spark, tmp_path):
+    """doc_ddl with different id/text names threads through to
+    hygiene_batch via id_col/text_col."""
+    ddl = "id long, body string, lang string"
+    src, wd = str(tmp_path / "src"), str(tmp_path / "wd")
+    spark.createDataFrame(_BATCH_A, ddl).coalesce(1).write.mode("append").parquet(src)
+    q = hygiene_stream_to_parquet(
+        spark, src, wd, doc_ddl=ddl, id_col="id", text_col="body"
+    )
+    q.awaitTermination()
+    rows = {
+        r["id"]: r["body"] for r in spark.read.parquet(f"{wd}/quality_stream").collect()
+    }
+    assert set(rows) == {1, 3}
+    assert "[EMAIL]" in rows[1]
+
+
 def test_composes_with_batch_corpus_runner(spark, tmp_path):
     from hexspark.pipeline.corpus import CorpusConfig, CorpusRunner
 

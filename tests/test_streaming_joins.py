@@ -143,6 +143,50 @@ def test_redrain_without_new_data_is_noop(spark, tmp_path):
     assert _sink(spark, dirs["out"]) == first == _INNER_A
 
 
+def test_crash_inside_microbatch_is_exactly_once(spark, tmp_path):
+    """Restart INSIDE a partially-committed micro-batch: the classic crash
+    window is after the file sink commits batch N to its _spark_metadata
+    transaction log but before the checkpoint writes commits/N. Simulate
+    it by deleting the checkpoint's last commit marker after a drain — on
+    restart Structured Streaming replays batch N (same batch id, same
+    offsets from offsets/N, state reloaded at the pre-batch version), and
+    the FileStreamSink's log makes the re-commit idempotent: readers see
+    each output row exactly once."""
+    import os
+    import shutil
+
+    dirs = _dirs(tmp_path)
+    _write(spark, _CLICKS_A, CLICK_DDL, dirs["clicks"])
+    _write(spark, _PURCHASES_A, PURCHASE_DDL, dirs["purchases"])
+    _drain(spark, dirs)
+    assert _sink(spark, dirs["out"]) == _INNER_A
+
+    commits = sorted(os.listdir(f"{dirs['ckpt']}/commits"))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(f"{dirs['ckpt']}/commits/{last}")
+    crc = f"{dirs['ckpt']}/commits/.{last}.crc"
+    if os.path.exists(crc):  # Hadoop local-FS checksum sidecar: a stale
+        os.remove(crc)  # one makes the commit-marker rewrite non-atomic
+    # also drop any state version written by the uncommitted batch replayed
+    # on restart? No — the engine handles that itself; the test's job is
+    # only to create the torn checkpoint.
+    q = _drain(spark, dirs)
+    # the replayed batch really ran (progress reports the replayed id)...
+    replayed = [p["batchId"] for p in q.recentProgress]
+    assert int(last) in replayed
+    # ...and the sink is unchanged: same match set, exactly one physical row
+    assert _sink(spark, dirs["out"]) == _INNER_A
+    assert len(spark.read.parquet(dirs["out"]).collect()) == 1
+
+    # a later batch still folds cleanly on top of the healed checkpoint
+    _write(spark, _CLICKS_B, CLICK_DDL, dirs["clicks"])
+    _write(spark, _PURCHASES_B, PURCHASE_DDL, dirs["purchases"])
+    _drain(spark, dirs)
+    assert _sink(spark, dirs["out"]) == _INNER_A | {(4, 103, 500)}
+
+    shutil.rmtree(dirs["out"])  # keep tmp_path small for slow CI disks
+
+
 def test_batch_plan_is_equi_join_no_python(spark):
     df = purchase_attribution(
         spark.createDataFrame(_CLICKS_A, CLICK_DDL),
