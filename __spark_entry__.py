@@ -1000,6 +1000,60 @@ def q_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_sql(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
 
+# DuckDB mirrors for the two r5-retired driver rows — consumed by
+# tests/test_entry_oracles.py so the rotation (pq_codes / span_dedup_stats
+# took their slots) loses no evidence: both hash-exact comparisons now run
+# on every pytest pass instead of in the driver's 50-row window.
+CMS_RETIRED_ORACLE = """
+            WITH toks AS (
+              SELECT t.tok AS token
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+              WHERE t.tok <> ''),
+            grid AS (
+              SELECT r.j AS row,
+                     ('0x' || substr(md5('c' || r.j::VARCHAR || token), 1, 12))::BIGINT
+                         % 512 AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r
+              GROUP BY 1, 2),
+            top AS (
+              SELECT token, count(*)::BIGINT AS true_cnt
+              FROM toks GROUP BY 1
+              ORDER BY true_cnt DESC, token LIMIT 20),
+            probe AS (
+              SELECT top.token, top.true_cnt, r.j AS row,
+                     ('0x' || substr(md5('c' || r.j::VARCHAR || top.token), 1, 12))::BIGINT
+                         % 512 AS bucket
+              FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r)
+            SELECT probe.token AS token, probe.true_cnt AS true_cnt,
+                   min(coalesce(grid.cnt, 0))::BIGINT AS est_cnt
+            FROM probe LEFT JOIN grid
+              ON grid.row = probe.row AND grid.bucket = probe.bucket
+            GROUP BY 1, 2
+        """
+
+SUFFIX_RETIRED_ORACLE = """
+            WITH k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                            1, 12) AS key
+              FROM documents),
+            s AS (
+              SELECT doc_id, substr(key, i::INT, 12) AS suffix_key
+              FROM k, (SELECT unnest(range(1, 8)) AS i) r
+              WHERE len(key) >= 6 AND i <= len(key) - 5),
+            ok AS (SELECT suffix_key FROM s GROUP BY 1 HAVING count(*) <= 50),
+            sk AS (SELECT s.* FROM s JOIN ok USING (suffix_key))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   arg_max(suffix_key, len(suffix_key)) AS suffix_key,
+                   count(*)::BIGINT AS n_shared_suffixes
+            FROM sk a JOIN sk b USING (suffix_key)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """
+
+
 # DuckDB mirror for q_simhash_sql — consumed by tests/test_entry_oracles.py
 # (no longer in oracle_sql(): the driver caps correctness rows at 50)
 SIMHASH_SQL_TWIN_ORACLE = """
@@ -1124,6 +1178,61 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents=_demo_ivf_cents(spark, sf_dir),
     )
     return out.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code table (ops/ann.pq_codes_df) — the PQ
+    family's hash-checkable face: the fully-distributed, decimal-exact
+    fit + assignment (seeds = 8 smallest-id vectors per subspace, one
+    Lloyd step, squared-L2 argmin over 1e-9-grid DECIMAL sums, ties to
+    the lowest code) emits one all-integer row per (vector, subspace).
+    The DuckDB oracle replays the ENTIRE training loop as assign→mean
+    CTE pairs, like ivf_ann_topk replays kmeans_centroids — so the
+    driver hash pins the fit, not just the encode. The float ADC/recall
+    half of the family stays pytest-pinned (tests/test_pq.py)."""
+    from hexspark.ops.ann import pq_codes_df
+
+    return pq_codes_df(
+        _embeddings(spark, sf_dir), dim=64, m=4, k=8, n_iters=1
+    ).select("vec_id", F.col("subspace").cast("long"), F.col("code").cast("long"))
+
+
+_SPAN_BOILER = (
+    "this transcript is provided under the standard evaluation license "
+    "agreement and may not be redistributed copied or used for model "
+    "training without prior written permission from the publisher"
+)
+
+
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level ExactSubstr dedup rollup (ops/spandedup.span_dedup_stats)
+    over a deterministically contaminated corpus: every doc_id % 5 == 0
+    document gets the same 28-word boilerplate license paragraph appended,
+    so those documents share >= 9 twenty-token windows; the operator must
+    localize them (xxhash64 window counts -> lag/running-sum span merge)
+    and report per-doc (n_tokens, n_spans, dup_tokens, dup_frac). The
+    oracle groups windows by their literal text instead of the hash —
+    same counts, no hash function needed. Integer cells except dup_frac,
+    one IEEE division of exact longs."""
+    from hexspark.ops.spandedup import span_dedup_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = span_dedup_stats(docs, min_len=20, dup_count=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "dup_tokens",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,7 +2131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_block_scores": q_wide_block_scores,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
-        "suffix_block_pairs": q_suffix_block_pairs,
+        # r5 rotation: suffix blocking + CMS rotate out (suffix stays
+        # pytest-replay-pinned in test_suffix_blocking.py and the blocking
+        # family keeps 6 hash-green slots; the sketch family keeps
+        # hll_distinct + bloom_prune_orders) to give the PQ fit and the
+        # span-dedup rollup their first hash-checked driver rows.
+        "pq_codes": q_pq_codes,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "dedup_removed_docs": q_dedup_removed_docs,
@@ -2040,7 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_weights": q_fs_match_weights,
         "mutual_best": q_mutual_best,
         "multipass_candidates": q_multipass_candidates,
-        "cms_token_counts": q_cms_token_counts,
+        "span_dedup_stats": q_span_dedup_stats,
         "bloom_prune_orders": q_bloom_prune_orders,
     }
 
@@ -2250,24 +2364,56 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
-        "suffix_block_pairs": """
-            WITH k AS (
-              SELECT doc_id,
-                     substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
-                            1, 12) AS key
-              FROM documents),
-            s AS (
-              SELECT doc_id, substr(key, i::INT, 12) AS suffix_key
-              FROM k, (SELECT unnest(range(1, 8)) AS i) r
-              WHERE len(key) >= 6 AND i <= len(key) - 5),
-            ok AS (SELECT suffix_key FROM s GROUP BY 1 HAVING count(*) <= 50),
-            sk AS (SELECT s.* FROM s JOIN ok USING (suffix_key))
-            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   arg_max(suffix_key, len(suffix_key)) AS suffix_key,
-                   count(*)::BIGINT AS n_shared_suffixes
-            FROM sk a JOIN sk b USING (suffix_key)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        # full replay of the distributed PQ TRAINING (pq_codes_df): seed
+        # codebooks -> decimal-exact squared-L2 assign -> decimal-snapped
+        # codeword means -> final assign — the kmeans_centroids oracle
+        # discipline, per subspace
+        "pq_codes": """
+            WITH subs AS (
+              SELECT vec_id, g.j AS subspace,
+                     list_transform(embedding[g.j*16+1 : g.j*16+16],
+                                    x -> x::DOUBLE) AS xs
+              FROM embeddings, generate_series(0, 3) AS g(j)),
+            seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+            b0 AS (
+              SELECT s.subspace,
+                     row_number() OVER (PARTITION BY s.subspace
+                                        ORDER BY s.vec_id) - 1 AS code,
+                     s.xs AS cw
+              FROM subs s JOIN seeds USING (vec_id)),
+            a0 AS (
+              SELECT s.vec_id, s.subspace, b.code,
+                     SUM(round((s.xs[g.i] - b.cw[g.i])
+                               * (s.xs[g.i] - b.cw[g.i]), 9)::DECIMAL(20,9)) AS d
+              FROM subs s JOIN b0 b USING (subspace),
+                   generate_series(1, 16) AS g(i)
+              GROUP BY s.vec_id, s.subspace, b.code),
+            c0 AS (
+              SELECT vec_id, subspace, code FROM (
+                SELECT a0.*, row_number() OVER (PARTITION BY vec_id, subspace
+                                                ORDER BY d, code) AS rn
+                FROM a0) WHERE rn = 1),
+            m1 AS (
+              SELECT c.subspace, c.code, g.i AS i,
+                     round(SUM(round(s.xs[g.i], 9)::DECIMAL(20,9))::DOUBLE
+                           / COUNT(*), 9) AS mv
+              FROM c0 c JOIN subs s USING (vec_id, subspace),
+                   generate_series(1, 16) AS g(i)
+              GROUP BY c.subspace, c.code, g.i),
+            b1 AS (SELECT subspace, code, list(mv ORDER BY i) AS cw
+                   FROM m1 GROUP BY subspace, code),
+            a1 AS (
+              SELECT s.vec_id, s.subspace, b.code,
+                     SUM(round((s.xs[g.i] - b.cw[g.i])
+                               * (s.xs[g.i] - b.cw[g.i]), 9)::DECIMAL(20,9)) AS d
+              FROM subs s JOIN b1 b USING (subspace),
+                   generate_series(1, 16) AS g(i)
+              GROUP BY s.vec_id, s.subspace, b.code)
+            SELECT vec_id, subspace::BIGINT AS subspace, code::BIGINT AS code
+            FROM (
+              SELECT a1.*, row_number() OVER (PARTITION BY vec_id, subspace
+                                              ORDER BY d, code) AS rn
+              FROM a1) WHERE rn = 1
         """,
         "embedding_neardup": """
             WITH planes AS (
@@ -2836,36 +2982,58 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT p)::INT AS n_passes
             FROM u GROUP BY 1, 2
         """,
-        # the sketch is bit-reproducible (md5 row hashes), so the oracle
-        # rebuilds the SAME depth x width counter grid and takes the same
-        # min-over-rows estimate — a value-level check of the sketch itself
-        "cms_token_counts": """
-            WITH toks AS (
-              SELECT t.tok AS token
-              FROM documents,
-                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
-              WHERE t.tok <> ''),
-            grid AS (
-              SELECT r.j AS row,
-                     ('0x' || substr(md5('c' || r.j::VARCHAR || token), 1, 12))::BIGINT
-                         % 512 AS bucket,
-                     count(*)::BIGINT AS cnt
-              FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r
-              GROUP BY 1, 2),
-            top AS (
-              SELECT token, count(*)::BIGINT AS true_cnt
-              FROM toks GROUP BY 1
-              ORDER BY true_cnt DESC, token LIMIT 20),
-            probe AS (
-              SELECT top.token, top.true_cnt, r.j AS row,
-                     ('0x' || substr(md5('c' || r.j::VARCHAR || top.token), 1, 12))::BIGINT
-                         % 512 AS bucket
-              FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r)
-            SELECT probe.token AS token, probe.true_cnt AS true_cnt,
-                   min(coalesce(grid.cnt, 0))::BIGINT AS est_cnt
-            FROM probe LEFT JOIN grid
-              ON grid.row = probe.row AND grid.bucket = probe.bucket
-            GROUP BY 1, 2
+        # replay of duplicated_spans + rollup, grouping windows by their
+        # LITERAL 20-token text instead of xxhash64 (same counts, no hash
+        # needed); run merge = the event_sessions lag + running-sum device
+        "span_dedup_stats": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' {_SPAN_BOILER}' ELSE text END AS text
+              FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM docs),
+            win0 AS (
+              -- select-list unnest: generate_series as a lateral table
+              -- function cannot see ws, the list-returning scalar can
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 19)) AS i
+              FROM toks WHERE len(ws) >= 20),
+            win AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ws[i : i + 19], ' ') AS wtext
+              FROM win0),
+            occ AS (SELECT wtext FROM win GROUP BY wtext
+                    HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT w.doc_id, w.pos FROM win w JOIN occ USING (wtext)),
+            runs AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 20
+                          THEN 1 ELSE 0 END AS new_run
+              FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            numbered AS (
+              SELECT doc_id, pos,
+                     CAST(SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+              FROM runs),
+            spans AS (
+              SELECT doc_id, run, MIN(pos) AS s, MAX(pos) + 20 AS e
+              FROM numbered GROUP BY doc_id, run),
+            agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+                     SUM(e - s)::BIGINT AS dup_tokens
+              FROM spans GROUP BY doc_id),
+            sizes AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM toks)
+            SELECT z.doc_id, z.n_tokens,
+                   coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(CASE WHEN z.n_tokens > 0
+                              THEN coalesce(a.dup_tokens, 0)::DOUBLE / z.n_tokens
+                              ELSE 0.0 END, 6) AS dup_frac
+            FROM sizes z LEFT JOIN agg a USING (doc_id)
         """,
         # same 64-word x 62-bit layout, same md5 bit positions: the oracle
         # reproduces the exact false-positive set, not just the true joins

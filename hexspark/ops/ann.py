@@ -690,3 +690,117 @@ def ivf_pq_topk(
     return scored.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+def pq_codes_df(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully-distributed, cross-engine-EXACT PQ fit + assignment:
+    (id, subspace, code) with one row per (vector, subspace) — the
+    integer code table a SQL oracle can replay bit-for-bit, complementing
+    the production :func:`pq_fit`/:func:`pq_encode` pair (driver-numpy
+    codebooks, Arrow encode) whose float means are ulp-unstable across
+    engines and therefore stay pytest-pinned.
+
+    The determinism discipline is kmeans_centroids', applied per
+    subspace: seeds are the ``k`` smallest-id vectors' subvectors (code =
+    rank of the seed id, no RNG); each Lloyd step assigns every subvector
+    to its nearest codeword under SQUARED L2 accumulated as
+    round-to-1e-9-grid DECIMAL terms — exact and associative, so the
+    argmin (ties -> lowest code) is identical under any partial-agg order
+    and on any engine — then recomputes codeword means with the same
+    decimal-snapped order-free sum, re-rounded to the 1e-9 grid. Vectors
+    are used RAW (cast float->double, value-preserving), not normalized:
+    normalization would interpose a sqrt+divide chain whose ulp noise is
+    exactly what this variant exists to exclude; the production encoder
+    keeps its normalize-for-cosine contract.
+
+    Scale shape: the codeword table is m*k rows (broadcast); each
+    iteration is one narrow assignment pass over the (n x m) subvector
+    stream plus one (subspace, code, dim)-keyed map-side-combinable
+    aggregate — O(iters) corpus scans, no pair blowup, same as IVF
+    training. Empty cells disappear on both engines.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k < 2:
+        raise ValueError(f"need k >= 2 codewords (got {k})")
+    sub = dim // m
+    subs = (
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+            F.col("_v"),
+        )
+        .withColumn(
+            "xs",
+            F.expr(
+                f"transform(slice(_v, subspace * {sub} + 1, {sub}), "
+                "x -> CAST(x AS double))"
+            ),
+        )
+        .drop("_v")
+    )
+    seed_ids = embeddings.orderBy(F.col(id_col)).limit(k).select(id_col)
+    wseed = Window.partitionBy("subspace").orderBy(id_col)
+    books = (
+        subs.join(F.broadcast(seed_ids), id_col)
+        .withColumn("code", F.row_number().over(wseed) - 1)
+        .select("subspace", "code", F.col("xs").alias("cw"))
+    )
+
+    def assign(books_df: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("xs"),
+                F.col("cw"),
+                lambda x, y: F.round((x - y) * (x - y), 9).cast("decimal(20,9)"),
+            ),
+            F.lit(0).cast("decimal(38,9)"),
+            # re-pin the accumulator type: decimal addition widens
+            # (38,9)+(20,9) to (38,8); the cast is lossless here (sums of
+            # <= dim 1e-9-grid squares never approach 29 integer digits)
+            lambda acc, v: (acc + v).cast("decimal(38,9)"),
+        )
+        w = Window.partitionBy(id_col, "subspace").orderBy(
+            F.col("_d").asc(), F.col("code").asc()
+        )
+        return (
+            subs.join(F.broadcast(books_df), "subspace")
+            .withColumn("_d", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, "subspace", "code", "xs")
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(books)
+        means = (
+            assigned.select(
+                "subspace", "code", F.posexplode("xs").alias("i", "v")
+            )
+            .groupBy("subspace", "code", "i")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("v"), 9).cast("decimal(20,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("mv")
+            )
+        )
+        books = means.groupBy("subspace", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mv"))),
+                lambda x: x["mv"],
+            ).alias("cw")
+        )
+    return assign(books).select(id_col, "subspace", "code")

@@ -43,6 +43,28 @@ def test_simhash_sql_twin_matches_duckdb(spark):
     assert _canon(got) == _canon(want)
 
 
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_cms_retired_row_matches_duckdb(spark):
+    """cms_token_counts rotated out of the driver window in round 5 (the
+    sketch family keeps hll_distinct + bloom_prune_orders there); its
+    hash-exact grid replay keeps running here."""
+    got = entrymod.q_cms_token_counts(spark, SF_DIR).toPandas()
+    want = _duck(entrymod.CMS_RETIRED_ORACLE)
+    assert len(got) == len(want) > 0
+    assert _canon(got) == _canon(want)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_suffix_retired_row_matches_duckdb(spark):
+    """suffix_block_pairs rotated out of the driver window in round 5
+    (blocking keeps six hash-green slots); its brute-force replay keeps
+    running here."""
+    got = entrymod.q_suffix_block_pairs(spark, SF_DIR).toPandas()
+    want = _duck(entrymod.SUFFIX_RETIRED_ORACLE)
+    assert len(got) == len(want) > 0
+    assert _canon(got) == _canon(want)
+
+
 def test_queries_and_oracles_fit_driver_window():
     """The driver checks at most 50 correctness rows; every queries() entry
     must have an oracle (the two rows-only exceptions were retired in round

@@ -147,3 +147,67 @@ def test_ivf_pq_composition(spark, embeddings):
     a = {(r["probe_id"], r["rank"]): r["vec_id"] for r in full.collect()}
     b = {(r["probe_id"], r["rank"]): r["vec_id"] for r in ref.collect()}
     assert a == b
+
+
+def test_pq_codes_df_matches_numpy_replay(spark, embeddings):
+    """The distributed decimal-exact fit+assign (pq_codes_df) agrees with
+    a driver-numpy replay of the same algorithm (raw vectors, smallest-id
+    seeds, snapped means, squared-L2 argmin with ties to lowest code) —
+    and is deterministic across invocations."""
+    from hexspark.ops.ann import pq_codes_df
+
+    df, vecs = embeddings
+    m, k, sub = 4, 8, 16
+    out = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_codes_df(df, dim=64, m=m, k=k, n_iters=1).collect()
+    }
+    assert len(out) == 200 * m
+
+    x = vecs.astype(np.float64)  # float32 -> float64 cast is exact
+    books = np.stack(
+        [x[:k, j * sub : (j + 1) * sub].copy() for j in range(m)]
+    )  # seeds: k smallest ids (fixture ids are 0..199 in order)
+
+    def snap(a):
+        return np.round(a, 9)
+
+    def assign(bks):
+        codes = np.empty((200, m), dtype=int)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            # decimal-grid squared L2, summed exactly like the engines
+            d = snap((xs[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)  # ties -> lowest code
+        return codes
+
+    c0 = assign(books)
+    refined = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        nb = books[j].copy()
+        for code in range(k):
+            mask = c0[:, j] == code
+            if mask.any():
+                nb[code] = snap(snap(xs[mask]).sum(axis=0) / mask.sum())
+        refined.append(nb)
+    c1 = assign(np.stack(refined))
+    for i in range(200):
+        for j in range(m):
+            assert out[(i, j)] == c1[i, j], (i, j, out[(i, j)], c1[i, j])
+
+    out2 = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_codes_df(df, dim=64, m=m, k=k, n_iters=1).collect()
+    }
+    assert out == out2
+
+
+def test_pq_codes_df_guards(spark, embeddings):
+    from hexspark.ops.ann import pq_codes_df
+
+    df, _ = embeddings
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codes_df(df, dim=64, m=7)
+    with pytest.raises(ValueError, match="k >= 2"):
+        pq_codes_df(df, dim=64, m=4, k=1)
