@@ -769,15 +769,21 @@ def pq_codes_df(
             # <= dim 1e-9-grid squares never approach 29 integer digits)
             lambda acc, v: (acc + v).cast("decimal(38,9)"),
         )
-        w = Window.partitionBy(id_col, "subspace").orderBy(
-            F.col("_d").asc(), F.col("code").asc()
-        )
+        # argmin as ONE hash aggregate: min over struct(_d, code) is the
+        # (distance asc, code asc) lexicographic winner — decimal compare
+        # is exact, ties break to the lowest code, and the partial-agg
+        # combine is map-side (a window row_number here would pay a full
+        # sort exchange per pass; xs is group-constant, so first() is
+        # deterministic in value)
         return (
             subs.join(F.broadcast(books_df), "subspace")
             .withColumn("_d", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(id_col, "subspace", "code", "xs")
+            .groupBy(id_col, "subspace")
+            .agg(
+                F.min(F.struct(F.col("_d"), F.col("code"))).alias("_best"),
+                F.first("xs").alias("xs"),
+            )
+            .select(id_col, "subspace", F.col("_best.code").alias("code"), "xs")
         )
 
     for _ in range(n_iters):
