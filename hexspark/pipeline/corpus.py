@@ -72,6 +72,10 @@ class CorpusConfig:
     repetition_thresholds: dict | None = None
     max_perplexity: float | None = None  # None → skip the LM gate
     lm_min_count: int = 2
+    # 2 = add-k bigram (ops/lm.py), 3 = interpolated Kneser-Ney trigram
+    # (ops/kn.py — the KenLM-family model; better-calibrated tails on
+    # context-bound tokens, one more count aggregate at train time)
+    lm_order: int = 2
     near_dup: bool = True
     neardup_bands: int = 16
     neardup_max_dist: int = 40
@@ -104,6 +108,11 @@ class CorpusRunner:
     def __init__(self, spark: SparkSession, workdir: str, cfg: CorpusConfig | None = None):
         self.spark = spark
         self.cfg = cfg or CorpusConfig()
+        if self.cfg.lm_order not in (2, 3):
+            raise ValueError(
+                f"lm_order must be 2 (add-k bigram) or 3 (KN trigram), "
+                f"got {self.cfg.lm_order}"
+            )
         self.io = TableIO(spark, workdir)
         self._manifest_path = os.path.join(workdir, "corpus_manifest.json")
 
@@ -194,8 +203,14 @@ class CorpusRunner:
             )
             if cfg.max_perplexity is None:
                 return kept
-            lm = train_bigram_lm(kept, txt, min_count=cfg.lm_min_count)
-            scores = lm_score(kept, lm, id_c, txt)
+            if cfg.lm_order == 3:
+                from hexspark.ops.kn import kn_score, train_kn_lm
+
+                lm3 = train_kn_lm(kept, txt, min_count=cfg.lm_min_count)
+                scores = kn_score(kept, lm3, id_c, txt)
+            else:
+                lm = train_bigram_lm(kept, txt, min_count=cfg.lm_min_count)
+                scores = lm_score(kept, lm, id_c, txt)
             ok = scores.where(
                 F.col("perplexity").isNotNull()
                 & (F.col("perplexity") <= F.lit(float(cfg.max_perplexity)))

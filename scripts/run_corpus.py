@@ -53,6 +53,11 @@ def main() -> None:
     )
     ap.add_argument("--lm-min-count", type=int, default=2)
     ap.add_argument(
+        "--lm-order", type=int, default=2, choices=(2, 3),
+        help="LM family for the perplexity gate: 2 = add-k bigram, "
+             "3 = interpolated Kneser-Ney trigram (KenLM-family)",
+    )
+    ap.add_argument(
         "--no-near-dup", action="store_true",
         help="skip the SimHash near-dup stage (exact md5 dedup only)",
     )
@@ -88,6 +93,7 @@ def main() -> None:
         domain_col=args.domain_col,
         max_perplexity=args.max_perplexity,
         lm_min_count=args.lm_min_count,
+        lm_order=args.lm_order,
         near_dup=not args.no_near_dup,
         neardup_bands=args.neardup_bands,
         neardup_max_dist=args.neardup_max_dist,

@@ -85,6 +85,25 @@ def test_perplexity_gate_drops_gibberish(spark, runner):
     assert {1, 4, 5} <= q
 
 
+def test_kn_trigram_gate_drops_gibberish(spark, runner):
+    """lm_order=3 swaps the gate's model for the interpolated-KN trigram
+    (ops/kn.py) — same contract, same OOV-soup victim, and an invalid
+    order is refused up front."""
+    gib = (91, "zxqv qqj wvx kkp zzr mmt qpx vvk jjq xxz bnm plk ssw ttq "
+               "uup vvy wwz xxa yyb zzc aad bbe ccf ddg eeh ffi ggj hhk "
+               "iil jjm kkn llo mmp nnq oor ppt qqu rrv", "en")
+    docs = spark.createDataFrame(_docs() + [gib], _DDL)
+    cfg = CorpusConfig(max_perplexity=60.0, lm_order=3)
+    gated = runner(cfg, sub="wd_kn").run(docs)
+    q = {r["doc_id"] for r in gated.tables["quality"].collect()}
+    assert 91 not in q
+    assert {1, 4, 5} <= q
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lm_order"):
+        CorpusRunner(spark, "/tmp/never", CorpusConfig(lm_order=4))
+
+
 def test_resume_skips_completed_stages(spark, runner, tmp_path):
     docs = spark.createDataFrame(_docs(), _DDL)
     rn = runner(sub="wd_resume")
