@@ -195,3 +195,12 @@ def test_guards(spark):
         train_kn_lm(docs, d=1.5)
     with pytest.raises(ValueError, match="smoothing"):
         train_kn_lm(docs, k=0.0)
+
+
+def test_score_plan_no_python(spark, fitted):
+    docs, lm = fitted
+    out = kn_score(docs, lm)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
