@@ -548,6 +548,13 @@ higher-order-function inlining repair in ops/setjoin.py) — an example of
 the non-uniform, explainable kind of delta that IS signal, against the
 uniform run2 shift that was not.
 """)
+        # hand-maintained addenda (per-round bench reconciliations, capacity
+        # runs) survive regeneration: they live in BENCH/ADDENDA.md and are
+        # appended verbatim after the generated report
+        addenda = os.path.join(REPO, "BENCH", "ADDENDA.md")
+        if os.path.exists(addenda):
+            with open(addenda) as af:
+                f.write(af.read())
     return {"eff_bulk_4n": eff_bulk, "eff_bulk_2n": eff_bulk_2n,
             "eff_low_occupancy_4x": eff_low, "eff_pipeline": eff_pipe,
             "primary": "saturated" if saturated_primary else "low_occupancy",
