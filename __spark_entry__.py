@@ -605,7 +605,11 @@ def q_suffix_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the longest shared suffix and the nested-suffix count. Replaced
     the round-3 `ngram_jaccard` slot (redundant with the lossless
     `prefix_jaccard` set-similarity join) so the fifth blocking family is
-    hash-gated like the others; all output columns integer/string-exact."""
+    hash-gated like the others; all output columns integer/string-exact.
+    Rotated out of the 50-row driver window in r5 (slot went to
+    span_dedup_stats; blocking keeps six hash-green slots); the identical
+    hash-exact comparison runs every pytest pass against
+    SUFFIX_RETIRED_ORACLE in tests/test_entry_oracles.py."""
     from hexspark.pipeline.blocking import suffix_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1696,7 +1700,9 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CMS never under-counts); at this corpus/width most probes are exact.
     The md5-derived row hashes make the sketch bit-reproducible, which is
     what lets DuckDB mirror a SKETCH — engine-native CMS/HLL never
-    cross-match."""
+    cross-match. Rotated out of the 50-row driver window in r5 (slot went
+    to pq_codes); the identical hash-exact comparison runs every pytest
+    pass against CMS_RETIRED_ORACLE in tests/test_entry_oracles.py."""
     from hexspark.ops.sketch import cms_build, cms_estimate
 
     toks = _docs(spark, sf_dir).select(
