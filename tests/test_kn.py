@@ -204,3 +204,123 @@ def test_score_plan_no_python(spark, fitted):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_train_count_tables_match_duckdb_on_testdata(spark):
+    """Cross-engine oracle on REAL testdata: every KN training count
+    table (all integers — unigram/continuation counts, mid/midsum/
+    midtypes, c2/c2types, trigram counts, V, conttot) is replayed
+    exactly by DuckDB SQL over the same parquet, including the <unk>
+    closed-vocabulary mapping. Upgrades the module's evidence from
+    pure-Python replay to hash-exact cross-engine, the same epistemics
+    as the driver oracles (the float scoring stays replay-pinned)."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip("testdata absent")
+    docs = spark.read.parquet(path)
+    lm = train_kn_lm(docs, min_count=2)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    con.execute("""
+        CREATE TEMP TABLE seq AS
+        WITH raw AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(ws) AS w,
+                 unnest(generate_series(1, len(ws))) AS i
+          FROM raw),
+        c_raw AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+        vocab AS (SELECT w FROM c_raw WHERE c >= 2),
+        mp AS (
+          SELECT doc_id, i,
+                 CASE WHEN w IN (SELECT w FROM vocab) THEN w
+                      ELSE '<unk>' END AS w
+          FROM pos)
+        SELECT doc_id, list(w ORDER BY i) AS ws FROM mp GROUP BY doc_id
+    """)
+    con.execute("""
+        CREATE TEMP TABLE tri AS
+        SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM seq WHERE len(ws) >= 3)
+    """)
+    con.execute("""
+        CREATE TEMP TABLE big AS
+        SELECT DISTINCT ws[i] AS wa, ws[i+1] AS wb
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM seq WHERE len(ws) >= 2)
+    """)
+
+    duck_tri = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(
+            "SELECT w1, w2, w3, count(*) FROM tri GROUP BY 1,2,3"
+        ).fetchall()
+    }
+    got_tri = {
+        (r["w1"], r["w2"], r["w3"]): r["c3"] for r in lm.trigrams.collect()
+    }
+    assert got_tri == duck_tri and len(got_tri) > 100
+
+    duck_ctx3 = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            "SELECT w1, w2, sum(c)::BIGINT, count(*) FROM "
+            "(SELECT w1, w2, w3, count(*) AS c FROM tri GROUP BY 1,2,3) "
+            "GROUP BY 1,2"
+        ).fetchall()
+    }
+    got_ctx3 = {
+        (r["w1"], r["w2"]): (r["c2"], r["c2types"]) for r in lm.ctx3.collect()
+    }
+    assert got_ctx3 == duck_ctx3
+
+    duck_mid = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "SELECT w2, w3, count(DISTINCT w1) FROM tri GROUP BY 1,2"
+        ).fetchall()
+    }
+    got_mid = {(r["w2"], r["w3"]): r["mid"] for r in lm.bigrams.collect()}
+    assert got_mid == duck_mid
+
+    duck_ctx2 = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT w2, sum(m)::BIGINT, count(*) FROM "
+            "(SELECT w2, w3, count(DISTINCT w1) AS m FROM tri GROUP BY 1,2) "
+            "GROUP BY 1"
+        ).fetchall()
+    }
+    got_ctx2 = {
+        r["w2"]: (r["midsum"], r["midtypes"]) for r in lm.ctx2.collect()
+    }
+    assert got_ctx2 == duck_ctx2
+
+    duck_uni = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("""
+            SELECT m.w, m.c, coalesce(ct.n, 0) FROM
+              (SELECT w, count(*) AS c FROM
+                 (SELECT unnest(ws) AS w FROM seq) GROUP BY 1) m
+              LEFT JOIN (SELECT wb AS w, count(*) AS n FROM big GROUP BY 1) ct
+              USING (w)
+        """).fetchall()
+    }
+    got_uni = {r["w"]: (r["c1"], r["cont1"]) for r in lm.unigrams.collect()}
+    assert got_uni == duck_uni
+
+    v, ct = con.execute(
+        "SELECT (SELECT count(DISTINCT w) FROM (SELECT unnest(ws) AS w FROM seq)),"
+        " (SELECT count(*) FROM big)"
+    ).fetchone()
+    assert lm.vocab_size == v and lm.conttot == ct
