@@ -211,3 +211,61 @@ def test_pq_codes_df_guards(spark, embeddings):
         pq_codes_df(df, dim=64, m=7)
     with pytest.raises(ValueError, match="k >= 2"):
         pq_codes_df(df, dim=64, m=4, k=1)
+
+
+def test_pq_codes_df_randomized_replay_parity(spark):
+    """Randomized differential: pq_codes_df ≡ the numpy replay across
+    random corpora and (m, k, n_iters) shapes — the decimal-grid argmin
+    and snapped means must agree EXACTLY (no tolerance) on every seed,
+    which is the whole point of the SQL-replayable variant."""
+    from hexspark.ops.ann import pq_codes_df
+
+    def replay(x, m, k, n_iters):
+        n, dim = x.shape
+        sub = dim // m
+        books = np.stack([x[:k, j * sub : (j + 1) * sub].copy() for j in range(m)])
+
+        def assign(bks):
+            codes = np.empty((n, m), dtype=int)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = np.round((xs[:, None, :] - bks[j][None, :, :]) ** 2, 9).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            return codes
+
+        c = assign(books)
+        for _ in range(n_iters):
+            nb = []
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                b = books[j].copy()
+                for code in range(k):
+                    mask = c[:, j] == code
+                    if mask.any():
+                        b[code] = np.round(
+                            np.round(xs[mask], 9).sum(axis=0) / mask.sum(), 9
+                        )
+                nb.append(b)
+            books = np.stack(nb)
+            c = assign(books)
+        return c
+
+    for seed, m, k, n_iters in [(7, 2, 4, 1), (11, 4, 3, 2), (23, 8, 5, 1)]:
+        rng = np.random.default_rng(seed)
+        n, dim = 60, 32
+        x = rng.standard_normal((n, dim))
+        # mix in near-duplicate rows so cells have uneven occupancy
+        x[40:50] = x[:10] + 0.01 * rng.standard_normal((10, dim))
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["vec_id"], r["subspace"]): r["code"]
+            for r in pq_codes_df(df, dim=dim, m=m, k=k, n_iters=n_iters).collect()
+        }
+        want = replay(x, m, k, n_iters)
+        assert len(got) == n * m, (seed, m, k)
+        for i in range(n):
+            for j in range(m):
+                assert got[(i, j)] == want[i, j], (seed, m, k, i, j)
